@@ -1,0 +1,198 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import trajopt_tpu
+from trajopt_tpu.core.cubature import (
+    cubature_forward_pass,
+    parameter_augment_cost,
+    parameter_backward_pass,
+    policy_backward_pass,
+)
+from trajopt_tpu.core.scan_lqr import gaussian_forward, gps_backward
+from trajopt_tpu.core.types import (
+    LinearGaussianDynamics,
+    LinearGaussianPolicy,
+    MatrixNormalParams,
+    QuadraticCost,
+    vec_from_matrices,
+)
+from trajopt_tpu.solvers.rgps import LRGPS, MBRGPS
+
+from ref_impl import random_quadratic_problem
+
+
+def _params_from_dyn(A, B, c, var):
+    T = A.shape[0]
+    p = A.shape[1] * (A.shape[1] + B.shape[2] + 1)
+    mu = np.stack([np.asarray(vec_from_matrices(
+        jnp.asarray(A[t]), jnp.asarray(B[t]), jnp.asarray(c[t]))) for t in range(T)])
+    sigma = var * np.tile(np.eye(p), (T, 1, 1))
+    return MatrixNormalParams(mu=jnp.asarray(mu), sigma=jnp.asarray(sigma))
+
+
+def _random_policy(rng, T, dx, du):
+    return LinearGaussianPolicy(
+        K=jnp.asarray(0.1 * rng.standard_normal((T, du, dx))),
+        kff=jnp.asarray(0.1 * rng.standard_normal((T, du))),
+        sigma=jnp.asarray(np.tile(0.5 * np.eye(du), (T, 1, 1))),
+    )
+
+
+def test_cubature_matches_exact_gaussian_forward_without_param_uncertainty():
+    """Spherical-cubature propagation is exact for linear maps: with Σθ -> 0 it must
+    reproduce the closed-form Gaussian forward pass (gps/src/util.cpp:195)."""
+    rng = np.random.default_rng(21)
+    T, dx, du = 15, 3, 2
+    p = random_quadratic_problem(rng, T, dx, du, gaussian=True)
+    policy = _random_policy(rng, T, dx, du)
+
+    param = _params_from_dyn(p["A"], p["B"], p["c"], var=0.0)
+    mu0 = jnp.asarray(rng.standard_normal(dx))
+    sigma0 = jnp.asarray(0.3 * np.eye(dx))
+    sigma_dyn = jnp.asarray(p["sigma_dyn"])
+
+    xd_c, ud_c, xud_c = cubature_forward_pass(mu0, sigma0, param, sigma_dyn, policy)
+
+    dyn = LinearGaussianDynamics(
+        A=jnp.asarray(p["A"]), B=jnp.asarray(p["B"]), c=jnp.asarray(p["c"]),
+        sigma=sigma_dyn,
+    )
+    xd_e, ud_e, xud_e = gaussian_forward(dyn, policy, mu0, sigma0)
+
+    np.testing.assert_allclose(np.asarray(xd_c.mu), np.asarray(xd_e.mu),
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(xd_c.sigma), np.asarray(xd_e.sigma),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ud_c.mu), np.asarray(ud_e.mu),
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_cubature_inflates_covariance_with_param_uncertainty():
+    rng = np.random.default_rng(22)
+    T, dx, du = 10, 2, 1
+    p = random_quadratic_problem(rng, T, dx, du, gaussian=True)
+    policy = _random_policy(rng, T, dx, du)
+    mu0 = jnp.zeros(dx)
+    sigma0 = jnp.asarray(0.1 * np.eye(dx))
+    sigma_dyn = jnp.asarray(p["sigma_dyn"])
+
+    param0 = _params_from_dyn(p["A"], p["B"], p["c"], var=0.0)
+    param1 = _params_from_dyn(p["A"], p["B"], p["c"], var=1e-3)
+
+    xd0, _, _ = cubature_forward_pass(mu0, sigma0, param0, sigma_dyn, policy)
+    xd1, _, _ = cubature_forward_pass(mu0, sigma0, param1, sigma_dyn, policy)
+
+    tr0 = np.trace(np.asarray(xd0.sigma[-1]))
+    tr1 = np.trace(np.asarray(xd1.sigma[-1]))
+    assert tr1 > tr0  # parameter uncertainty must inflate the state covariance
+
+
+def test_policy_backward_reduces_to_gps_without_param_uncertainty():
+    """With Σθ = 0 the robust backward pass (rgps/src/util.cpp:424) must equal the
+    plain GPS soft-KL pass (gps/src/util.cpp:272)."""
+    rng = np.random.default_rng(23)
+    T, dx, du = 19, 3, 2
+    p = random_quadratic_problem(rng, T, dx, du, gaussian=True)
+    alpha = jnp.asarray(10.0 ** rng.uniform(1, 3, size=T))
+
+    cost = QuadraticCost(*[jnp.asarray(p[k]) for k in ["Cxx", "cx", "Cuu", "cu", "Cxu", "c0"]])
+    dyn = LinearGaussianDynamics(
+        A=jnp.asarray(p["A"]), B=jnp.asarray(p["B"]), c=jnp.asarray(p["c"]),
+        sigma=jnp.asarray(p["sigma_dyn"]),
+    )
+    param = _params_from_dyn(p["A"], p["B"], p["c"], var=0.0)
+
+    lgc_r, val_r, qval_r, div_r = policy_backward_pass(
+        cost, param, dyn.sigma, alpha
+    )
+    lgc_g, val_g, qval_g, div_g = gps_backward(cost, dyn, alpha)
+
+    assert not bool(div_r) and not bool(div_g)
+    np.testing.assert_allclose(np.asarray(lgc_r.K), np.asarray(lgc_g.K), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(lgc_r.kff), np.asarray(lgc_g.kff), rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(val_r.V), np.asarray(val_g.V), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(val_r.v0), np.asarray(val_g.v0), rtol=1e-8)
+
+
+def test_parameter_backward_recovers_nominal_at_large_beta():
+    """As β -> ∞ the adversary is pinned to the nominal: Σθ* -> Σ_nom, μθ* -> μ_nom
+    (W = 2(½βΛ + Vpp)/β -> Λ, w -> Λμ in rgps/src/util.cpp:730-743)."""
+    rng = np.random.default_rng(24)
+    T, dx, du = 8, 2, 1
+    p = random_quadratic_problem(rng, T, dx, du, gaussian=True)
+    policy = _random_policy(rng, T, dx, du)
+
+    nominal = _params_from_dyn(p["A"], p["B"], p["c"], var=1e-4)
+    cost = QuadraticCost(*[jnp.asarray(p[k]) for k in ["Cxx", "cx", "Cuu", "cu", "Cxu", "c0"]])
+    sigma_dyn = jnp.asarray(p["sigma_dyn"])
+
+    mu0 = jnp.zeros(dx)
+    sigma0 = jnp.asarray(0.1 * np.eye(dx))
+    xdist, _, _ = cubature_forward_pass(mu0, sigma0, nominal, sigma_dyn, policy)
+
+    beta = 1e12
+    agCpp, agcp, _ = parameter_augment_cost(nominal, jnp.asarray(beta))
+    param, value, diverged = parameter_backward_pass(
+        xdist, policy, sigma_dyn, cost, agCpp, agcp, jnp.asarray(beta)
+    )
+
+    assert not bool(diverged)
+    np.testing.assert_allclose(np.asarray(param.mu), np.asarray(nominal.mu),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(param.sigma), np.asarray(nominal.sigma),
+                               rtol=1e-4, atol=1e-10)
+
+
+def test_parameter_backward_moves_adversarially_at_small_beta():
+    rng = np.random.default_rng(25)
+    T, dx, du = 8, 2, 1
+    p = random_quadratic_problem(rng, T, dx, du, gaussian=True)
+    policy = _random_policy(rng, T, dx, du)
+
+    nominal = _params_from_dyn(p["A"], p["B"], p["c"], var=1e-4)
+    cost = QuadraticCost(*[jnp.asarray(p[k]) for k in ["Cxx", "cx", "Cuu", "cu", "Cxu", "c0"]])
+    sigma_dyn = jnp.asarray(p["sigma_dyn"])
+    mu0 = jnp.zeros(dx)
+    sigma0 = jnp.asarray(0.1 * np.eye(dx))
+    xdist, _, _ = cubature_forward_pass(mu0, sigma0, nominal, sigma_dyn, policy)
+
+    agCpp, agcp, _ = parameter_augment_cost(nominal, jnp.asarray(10.0))
+    param, _, diverged = parameter_backward_pass(
+        xdist, policy, sigma_dyn, cost, agCpp, agcp, jnp.asarray(10.0)
+    )
+    assert not bool(diverged)
+    # adversary departs from the nominal mean
+    assert float(jnp.max(jnp.abs(param.mu - nominal.mu))) > 1e-5
+
+
+@pytest.mark.slow
+def test_lrgps_runs_on_lqr():
+    """LRGPS on the adversarial LQR env (examples/rgps/mb_lqr.py:45-59 scaled down)."""
+    env = trajopt_tpu.make("LQR-TO-v1", sigma_scale=1e-4)
+    solver = LRGPS(
+        env, nb_steps=20, init_state=env.init(), init_action_sigma=10.0,
+        policy_kl_bound=0.25, param_nominal_kl_bound=50.0,
+        param_regularizer_kl_bound=10.0, nominal_variance=1e-8,
+    )
+    trace = solver.run(nb_iter=5)
+
+    assert len(trace) >= 2
+    assert all(np.isfinite(trace))
+    # the adversary stays within (loosely) its KL budget
+    kl = float(jnp.sum(solver.parameter_nominal_kldiv(solver.param)))
+    assert kl < 2.0 * 50.0
+
+
+@pytest.mark.slow
+def test_mbrgps_runs_on_pendulum():
+    env = trajopt_tpu.make("Pendulum-TO-v0", dt=0.05, sigma_scale=1e-4)
+    solver = MBRGPS(
+        env, nb_steps=20, init_state=env.init(), init_action_sigma=1.0,
+        policy_kl_bound=1.0, param_nominal_kl_bound=10.0,
+        nominal_variance=1e-8,
+    )
+    trace = solver.run(nb_iter=3)
+    assert len(trace) >= 2
+    assert all(np.isfinite(trace))
