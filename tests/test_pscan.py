@@ -1,0 +1,109 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from trajopt_tpu.core.pscan_lqr import (
+    pilqr_backward,
+    priccati_backward,
+    sharded_backward,
+)
+from trajopt_tpu.core.scan_lqr import ilqr_backward, riccati_backward
+from trajopt_tpu.core.types import LinearDynamics, QuadraticCost
+
+from ref_impl import random_quadratic_problem
+
+
+def _pack(p):
+    cost = QuadraticCost(
+        Cxx=jnp.asarray(p["Cxx"]), cx=jnp.asarray(p["cx"]),
+        Cuu=jnp.asarray(p["Cuu"]), cu=jnp.asarray(p["cu"]),
+        Cxu=jnp.asarray(p["Cxu"]), c0=jnp.asarray(p["c0"]),
+    )
+    dyn = LinearDynamics(
+        A=jnp.asarray(p["A"]), B=jnp.asarray(p["B"]), c=jnp.asarray(p["c"])
+    )
+    return cost, dyn
+
+
+@pytest.mark.parametrize("T", [7, 64, 333])
+def test_parallel_riccati_equals_sequential(T):
+    """Property test (SURVEY.md §4): gains/value from the associative-scan path must
+    equal the sequential scan to tight tolerance."""
+    rng = np.random.default_rng(100 + T)
+    p = random_quadratic_problem(rng, T, dx=3, du=2)
+    cost, dyn = _pack(p)
+
+    ctl_s, val_s = riccati_backward(cost, dyn)
+    ctl_p, val_p = priccati_backward(cost, dyn)
+
+    np.testing.assert_allclose(np.asarray(ctl_p.K), np.asarray(ctl_s.K),
+                               rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ctl_p.kff), np.asarray(ctl_s.kff),
+                               rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(val_p.V), np.asarray(val_s.V),
+                               rtol=1e-7, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(val_p.v), np.asarray(val_s.v),
+                               rtol=1e-7, atol=1e-8)
+
+
+def test_parallel_ilqr_equals_sequential_at_zero_lambda():
+    rng = np.random.default_rng(200)
+    T = 101
+    p = random_quadratic_problem(rng, T, dx=4, du=2)
+    cost, _ = _pack(p)
+    A, B = jnp.asarray(p["A"]), jnp.asarray(p["B"])
+
+    ctl_s, val_s, _, dV_s, div = ilqr_backward(cost, A, B, 0.0, 1)
+    assert not bool(div)
+    ctl_p, val_p, dV_p = pilqr_backward(cost, A, B)
+
+    np.testing.assert_allclose(np.asarray(ctl_p.K), np.asarray(ctl_s.K),
+                               rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ctl_p.kff), np.asarray(ctl_s.kff),
+                               rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(val_p.V), np.asarray(val_s.V),
+                               rtol=1e-7, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(dV_p), np.asarray(dV_s), rtol=1e-7)
+
+
+def test_parallel_riccati_long_horizon_stable():
+    """Horizon-1000 stability of the compose algebra (SURVEY.md §7 hard parts)."""
+    rng = np.random.default_rng(300)
+    T = 1000
+    p = random_quadratic_problem(rng, T, dx=2, du=1)
+    # stabilize the random system so the value stays bounded at T = 1000
+    p["A"] = 0.95 * p["A"]
+    cost, dyn = _pack(p)
+
+    ctl_s, val_s = riccati_backward(cost, dyn)
+    ctl_p, val_p = priccati_backward(cost, dyn)
+
+    np.testing.assert_allclose(np.asarray(ctl_p.K), np.asarray(ctl_s.K),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(val_p.V), np.asarray(val_s.V),
+                               rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.parametrize("T", [63, 160])
+def test_sharded_backward_matches_single_device(T):
+    """Multi-chip consistency (SURVEY.md §4 item 4): the horizon-block-sharded
+    backward pass on the 8-device CPU mesh must reproduce the single-device result."""
+    from jax.sharding import Mesh
+
+    devices = np.array(jax.devices("cpu")[:8])
+    mesh = Mesh(devices, axis_names=("time",))
+
+    rng = np.random.default_rng(400 + T)
+    p = random_quadratic_problem(rng, T, dx=3, du=2)
+    cost, dyn = _pack(p)
+
+    ctl_s, val_s = riccati_backward(cost, dyn)
+    ctl_p, val_p = sharded_backward(cost, dyn, mesh, axis_name="time")
+
+    np.testing.assert_allclose(np.asarray(ctl_p.K), np.asarray(ctl_s.K),
+                               rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ctl_p.kff), np.asarray(ctl_s.kff),
+                               rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(val_p.V), np.asarray(val_s.V),
+                               rtol=1e-7, atol=1e-8)

@@ -1,0 +1,290 @@
+"""Parallel-in-time Riccati recursion via ``lax.associative_scan``.
+
+The LQR backward pass is an associative operation on conditional value-function
+elements (Särkkä & García-Fernández, *Temporal Parallelization of Dynamic Programming*;
+see PAPERS.md "The Parallelization of Riccati Recursion"): each step contributes
+
+    V_e(x, z) = ½ (z − A x − b)ᵀ C⁻¹ (z − A x − b) + ½ xᵀ J x − ηᵀ x
+
+and composition (minimizing over the intermediate state) is closed-form in
+(A, b, C, η, J).  A suffix ``associative_scan`` therefore computes **all** value
+functions V_t in O(log T) parallel depth instead of the O(T) sequential scan of the
+C++ reference (ilqr/src/util.cpp:126) — this is the block-tridiagonal-KKT
+factorization view of the horizon, and the lever for both wide-MXU utilization on one
+chip (the scan body is batched small-matmul work) and horizon sharding across chips
+(:func:`sharded_backward` exchanges only per-block composite elements over ICI).
+
+Elements compose in the ½-convention quadratic model
+    cost_t(x, u) = ½xᵀQx + qᵀx + ½uᵀRu + rᵀu + xᵀMu,   z = F x + L u + c.
+Wrappers map the reference's two conventions onto it:
+
+* :func:`priccati_backward` — absolute convention (riccati/riccati.py:100-126):
+  Q = 2·Cxx etc., returns V in the x ᵀVx + vᵀx storage of the reference.
+* :func:`pilqr_backward`    — delta convention (ilqr/src/util.cpp:83-182) at λ = 0;
+  exact agreement with the sequential kernel is a unit test.  (The λ > 0 LM path of
+  the sequential kernel damps the value update itself and is inherently sequential;
+  the solvers use the parallel path opportunistically when λ is tiny.)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array, lax
+
+from ..utils.psd import chol_solve
+from .types import (
+    LinearDynamics,
+    LinearPolicy,
+    QuadraticCost,
+    QuadraticValue,
+    symmetrize,
+)
+
+
+class RiccatiElement(NamedTuple):
+    A: Array    # (..., dx, dx)
+    b: Array    # (..., dx)
+    C: Array    # (..., dx, dx)
+    eta: Array  # (..., dx)
+    J: Array    # (..., dx, dx)
+
+
+def combine(e1: RiccatiElement, e2: RiccatiElement) -> RiccatiElement:
+    """Compose two conditional value elements: (e1 ⊗ e2)(x, z) = min_y e1(x,y) + e2(y,z).
+
+    Batched over leading axes (as required by ``lax.associative_scan``).
+    """
+    dx = e1.A.shape[-1]
+    eye = jnp.eye(dx, dtype=e1.A.dtype)
+
+    # G = (I + C1 J2)^{-1}; (I + J2 C1)^{-1} = Gᵀ for symmetric C, J
+    G = jnp.linalg.solve(eye + e1.C @ e2.J, jnp.broadcast_to(eye, e1.C.shape))
+    Gt = jnp.swapaxes(G, -1, -2)
+
+    A12 = e2.A @ G @ e1.A
+    b12 = _mv(e2.A @ G, e1.b + _mv(e1.C, e2.eta)) + e2.b
+    C12 = symmetrize(e2.A @ G @ e1.C @ jnp.swapaxes(e2.A, -1, -2) + e2.C)
+    eta12 = _mv(jnp.swapaxes(e1.A, -1, -2) @ Gt, e2.eta - _mv(e2.J, e1.b)) + e1.eta
+    J12 = symmetrize(jnp.swapaxes(e1.A, -1, -2) @ Gt @ e2.J @ e1.A + e1.J)
+    return RiccatiElement(A=A12, b=b12, C=C12, eta=eta12, J=J12)
+
+
+def _mv(M: Array, v: Array) -> Array:
+    """Batched matrix-vector product over leading axes."""
+    return jnp.einsum("...ij,...j->...i", M, v)
+
+
+def make_elements(
+    Q: Array, q: Array, R: Array, r: Array, M: Array,
+    F: Array, L: Array, c: Array,
+    Q_T: Array, q_T: Array,
+) -> RiccatiElement:
+    """Per-step elements for the ½-convention model plus the terminal element.
+
+    Returns stacked elements of length T+1 (terminal last).
+    """
+    dx = F.shape[-1]
+
+    def one(Q, q, R, r, M, F, L, c):
+        chol_R = jnp.linalg.cholesky(symmetrize(R))
+        RiM = chol_solve(chol_R, jnp.swapaxes(M, -1, -2))   # R⁻¹ Mᵀ
+        Rir = chol_solve(chol_R, r)                          # R⁻¹ r
+        RiL = chol_solve(chol_R, jnp.swapaxes(L, -1, -2))   # R⁻¹ Lᵀ
+        A = F - L @ RiM
+        b = c - L @ Rir
+        C = symmetrize(L @ RiL)
+        J = symmetrize(Q - M @ RiM)
+        eta = -(q - M @ Rir)
+        return RiccatiElement(A=A, b=b, C=C, eta=eta, J=J)
+
+    els = jax.vmap(one)(Q, q, R, r, M, F, L, c)
+
+    zero_m = jnp.zeros((1, dx, dx), F.dtype)
+    zero_v = jnp.zeros((1, dx), F.dtype)
+    term = RiccatiElement(
+        A=zero_m, b=zero_v, C=zero_m, eta=-q_T[None], J=Q_T[None]
+    )
+    return jax.tree_util.tree_map(
+        lambda a, b: jnp.concatenate([a, b], axis=0), els, term
+    )
+
+
+def suffix_scan(elements: RiccatiElement) -> RiccatiElement:
+    """result[t] = e_t ⊗ e_{t+1} ⊗ … ⊗ e_T, all t, in O(log T) depth.
+
+    ``associative_scan(reverse=True)`` combines operands in *reversed* array order,
+    so the binary op is flipped to keep composition time-ordered.
+    """
+    return lax.associative_scan(
+        lambda x, y: combine(y, x), elements, reverse=True
+    )
+
+
+def _gains(Q_half, R_half, r_half, M_half, F, L, c, S_next, s_next):
+    """Per-step feedback/feedforward from the next-step ½-model value."""
+    Quu = R_half + jnp.swapaxes(L, -1, -2) @ S_next @ L
+    chol = jnp.linalg.cholesky(symmetrize(Quu))
+    K = -chol_solve(chol, jnp.swapaxes(L, -1, -2) @ S_next @ F
+                    + jnp.swapaxes(M_half, -1, -2))
+    kff = -chol_solve(chol, _mv(jnp.swapaxes(L, -1, -2), _mv(S_next, c) + s_next)
+                      + r_half)
+    return K, kff
+
+
+def priccati_backward(
+    cost: QuadraticCost, dyn: LinearDynamics
+) -> tuple[LinearPolicy, QuadraticValue]:
+    """Parallel-in-time equivalent of :func:`core.scan_lqr.riccati_backward`
+    (absolute convention: Cxx = ½-scaled Hessians, value stored as xᵀVx + vᵀx)."""
+    T = dyn.horizon
+    Q, q = 2.0 * cost.Cxx[:T], cost.cx[:T]
+    R, r = 2.0 * cost.Cuu[:T], cost.cu[:T]
+    M = 2.0 * cost.Cxu[:T]
+    Q_T, q_T = 2.0 * cost.Cxx[T], cost.cx[T]
+
+    els = make_elements(Q, q, R, r, M, dyn.A, dyn.B, dyn.c, Q_T, q_T)
+    suf = suffix_scan(els)
+
+    # ½-model value: S_t = J_t, s_t = −η_t;  reference storage: V = S/2, v = s
+    S = suf.J
+    s = -suf.eta
+
+    K, kff = jax.vmap(_gains)(
+        Q, R, r, M, dyn.A, dyn.B, dyn.c, S[1:], s[1:]
+    )
+    value = QuadraticValue(V=0.5 * S, v=s, v0=jnp.zeros(T + 1, S.dtype))
+    return LinearPolicy(K=K, kff=kff), value
+
+
+def pilqr_backward(
+    cost: QuadraticCost, A: Array, B: Array
+) -> tuple[LinearPolicy, QuadraticValue, Array]:
+    """Parallel-in-time equivalent of the unregularized iLQR backward pass
+    (ilqr/src/util.cpp:83-182 at λ = 0).  Also returns the dV improvement pair."""
+    T = A.shape[0]
+    c = jnp.zeros((T, A.shape[-1]), A.dtype)
+    Q, q = cost.Cxx[:T], cost.cx[:T]
+    R, r = cost.Cuu[:T], cost.cu[:T]
+    M = cost.Cxu[:T]
+
+    els = make_elements(Q, q, R, r, M, A, B, c, cost.Cxx[T], cost.cx[T])
+    suf = suffix_scan(els)
+    S, s = suf.J, -suf.eta
+
+    K, kff = jax.vmap(_gains)(Q, R, r, M, A, B, c, S[1:], s[1:])
+
+    # dV pair (ilqr/src/util.cpp:154): Σ_t [kffᵀqu, ½ kffᵀ Quu kff]
+    def dv_t(K_t, kff_t, R_t, r_t, B_t, S_n, s_n):
+        Quu = R_t + B_t.T @ S_n @ B_t
+        qu = r_t + B_t.T @ s_n
+        return jnp.stack([kff_t @ qu, 0.5 * kff_t @ Quu @ kff_t])
+
+    dV = jnp.sum(jax.vmap(dv_t)(K, kff, R, r, B, S[1:], s[1:]), axis=0)
+    value = QuadraticValue(V=S, v=s, v0=jnp.zeros(T + 1, S.dtype))
+    return LinearPolicy(K=K, kff=kff), value, dV
+
+
+# --------------------------------------------------------------------------------------
+# Horizon sharding across devices
+# --------------------------------------------------------------------------------------
+
+def sharded_backward(
+    cost: QuadraticCost,
+    dyn: LinearDynamics,
+    mesh,
+    axis_name: str = "time",
+):
+    """Horizon-block-sharded parallel Riccati (absolute convention).
+
+    Each device runs the suffix scan on its local block of elements; the per-block
+    composite elements (one small (A, b, C, η, J) tuple per block) are exchanged with
+    a single ``all_gather`` over the mesh axis — the collective-halo design from
+    SURVEY.md §2.4 — and each local suffix is completed by folding in the composition
+    of all later blocks.  Returns the same (policy, value) as
+    :func:`priccati_backward`.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    T = dyn.horizon
+    dx = dyn.A.shape[-1]
+    n_dev = mesh.shape[axis_name]
+
+    Q, q = 2.0 * cost.Cxx[:T], cost.cx[:T]
+    R, r = 2.0 * cost.Cuu[:T], cost.cu[:T]
+    M = 2.0 * cost.Cxu[:T]
+    els = make_elements(Q, q, R, r, M, dyn.A, dyn.B, dyn.c,
+                        2.0 * cost.Cxx[T], cost.cx[T])
+
+    # pad T+1 elements with composition identities to a multiple of the axis size
+    n_tot = T + 1
+    pad = (-n_tot) % n_dev
+    eye = jnp.broadcast_to(jnp.eye(dx, dtype=dyn.A.dtype), (pad, dx, dx))
+    zeros_m = jnp.zeros((pad, dx, dx), dyn.A.dtype)
+    zeros_v = jnp.zeros((pad, dx), dyn.A.dtype)
+    identity = RiccatiElement(A=eye, b=zeros_v, C=zeros_m, eta=zeros_v, J=zeros_m)
+    els = jax.tree_util.tree_map(
+        lambda a, b: jnp.concatenate([a, b], axis=0), els, identity
+    )
+
+    def local_block(block: RiccatiElement) -> RiccatiElement:
+        # local suffix scan within this device's time block
+        local = lax.associative_scan(lambda x, y: combine(y, x), block, reverse=True)
+        total = jax.tree_util.tree_map(lambda x: x[:1], local)  # block composite
+
+        # exchange block composites: (n_dev, 1, ...) per leaf
+        gathered = jax.lax.all_gather(total, axis_name)
+        gathered = jax.tree_util.tree_map(lambda x: x[:, 0], gathered)
+
+        # composition of all *later* blocks, computed redundantly per device
+        idx = jax.lax.axis_index(axis_name)
+
+        def fold(i, acc):
+            e_i = jax.tree_util.tree_map(lambda x: x[i], gathered)
+            new = combine(
+                jax.tree_util.tree_map(lambda x: x[None], e_i),
+                jax.tree_util.tree_map(lambda x: x[None], acc),
+            )
+            new = jax.tree_util.tree_map(lambda x: x[0], new)
+            return jax.tree_util.tree_map(
+                lambda n, a: jnp.where(i > idx, n, a), new, acc
+            )
+
+        id_el = RiccatiElement(
+            A=jnp.eye(dx, dtype=dyn.A.dtype),
+            b=jnp.zeros(dx, dyn.A.dtype),
+            C=jnp.zeros((dx, dx), dyn.A.dtype),
+            eta=jnp.zeros(dx, dyn.A.dtype),
+            J=jnp.zeros((dx, dx), dyn.A.dtype),
+        )
+        # mark the loop carry as device-varying (it mixes with axis_index-dependent
+        # selections inside the fold)
+        id_el = jax.tree_util.tree_map(
+            lambda x: jax.lax.pvary(x, (axis_name,)), id_el
+        )
+        # fold from the last block down to idx+1
+        tail = lax.fori_loop(
+            0, n_dev,
+            lambda k, acc: fold(n_dev - 1 - k, acc),
+            id_el,
+        )
+        tail_b = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (local.A.shape[0],) + x.shape), tail
+        )
+        return combine(local, tail_b)
+
+    spec = RiccatiElement(
+        A=P(axis_name), b=P(axis_name), C=P(axis_name), eta=P(axis_name), J=P(axis_name)
+    )
+    suf = shard_map(
+        local_block, mesh=mesh, in_specs=(spec,), out_specs=spec
+    )(els)
+
+    S = suf.J[: T + 1]
+    s = -suf.eta[: T + 1]
+    K, kff = jax.vmap(_gains)(Q, R, r, M, dyn.A, dyn.B, dyn.c, S[1:], s[1:])
+    value = QuadraticValue(V=0.5 * S, v=s, v0=jnp.zeros(T + 1, S.dtype))
+    return LinearPolicy(K=K, kff=kff), value
