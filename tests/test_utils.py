@@ -1,0 +1,64 @@
+import numpy as np
+import pytest
+
+import trajopt_tpu
+from trajopt_tpu.solvers import Riccati, iLQR
+from trajopt_tpu.utils import checkpoint
+from trajopt_tpu.utils.metrics import MetricsRecorder
+from trajopt_tpu.utils.native import ilqr_backward_native
+
+from ref_impl import ilqr_backward_np, random_quadratic_problem
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    env = trajopt_tpu.make("Pendulum-TO-v0", dt=0.05)
+    solver = iLQR(env, nb_steps=30, init_state=jnp.asarray(env.x0),
+                  action_penalty=1e-5)
+    solver.run(nb_iter=5)
+
+    checkpoint.save(tmp_path / "ckpt", solver)
+
+    fresh = iLQR(env, nb_steps=30, init_state=jnp.asarray(env.x0),
+                 action_penalty=1e-5)
+    checkpoint.restore(tmp_path / "ckpt", fresh)
+
+    np.testing.assert_allclose(np.asarray(fresh.xref), np.asarray(solver.xref))
+    np.testing.assert_allclose(np.asarray(fresh.ctl.K), np.asarray(solver.ctl.K))
+    assert fresh.lmbda == solver.lmbda
+    assert fresh.last_return == solver.last_return
+
+    # resumed solver continues improving from the restored state (run() re-applies
+    # the restored controller's alpha-grid init sweep, so trace[0] is near but not
+    # necessarily below the stored return)
+    trace = fresh.run(nb_iter=3)
+    assert np.isfinite(trace[-1])
+    assert trace[-1] <= trace[0]
+
+
+def test_metrics_recorder():
+    m = MetricsRecorder("gps")
+    m.log(0, kl=1.0, ret=100.0)
+    m.log(1, kl=0.9, ret=90.0)
+    assert m.history("ret") == [100.0, 90.0]
+    assert "ret" in m.table()
+    assert len(m.to_jsonl().splitlines()) == 2
+
+
+def test_native_kernel_cross_validates_jax():
+    """The independent C++ implementation and the numpy oracle agree — a
+    second-opinion check on the kernel math."""
+    rng = np.random.default_rng(77)
+    p = random_quadratic_problem(rng, T=31, dx=3, du=2)
+
+    K_np, kff_np, *_ , div = ilqr_backward_np(
+        p["Cxx"], p["cx"], p["Cuu"], p["cu"], p["Cxu"], p["A"], p["B"], 0.7, 1
+    )
+    assert not div
+    K_c, kff_c, fail = ilqr_backward_native(
+        p["Cxx"], p["cx"], p["Cuu"], p["cu"], p["Cxu"], p["A"], p["B"], 0.7
+    )
+    assert fail == 0
+    np.testing.assert_allclose(K_c, K_np, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(kff_c, kff_np, rtol=1e-12, atol=1e-12)

@@ -1,0 +1,52 @@
+"""Structured per-iteration metrics.
+
+Replaces the reference's print-based iteration tables (gps/mbgps.py:313-317,
+rgps/mbrgps.py:810-816) with an append-only recorder that keeps numeric history
+queryable and can still render the reference-style table.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Any
+
+
+class MetricsRecorder:
+    def __init__(self, name: str = "solver"):
+        self.name = name
+        self.records: list[dict[str, Any]] = []
+        self._t0 = time.perf_counter()
+
+    def log(self, iteration: int, **values) -> dict[str, Any]:
+        rec = {
+            "iter": iteration,
+            "wall_time": time.perf_counter() - self._t0,
+            **{k: (float(v) if hasattr(v, "__float__") else v)
+               for k, v in values.items()},
+        }
+        self.records.append(rec)
+        return rec
+
+    def history(self, key: str) -> list[float]:
+        return [r[key] for r in self.records if key in r]
+
+    def to_jsonl(self) -> str:
+        return "\n".join(json.dumps(r) for r in self.records)
+
+    def table(self) -> str:
+        """Reference-style fixed-width iteration table."""
+        if not self.records:
+            return ""
+        keys = [k for k in self.records[0] if k != "wall_time"]
+        header = " ".join(f"{k:>12s}" for k in keys)
+        rows = [
+            " ".join(
+                f"{r.get(k, float('nan')):12.4g}"
+                if isinstance(r.get(k), (int, float))
+                else f"{str(r.get(k)):>12s}"
+                for k in keys
+            )
+            for r in self.records
+        ]
+        return "\n".join([header] + rows)
