@@ -6,11 +6,20 @@ is *measured*: the same backward pass as single-thread -O3 -march=native C++ on 
 host's CPU (native/baseline.cpp — the role the reference's Armadillo/OpenBLAS kernel
 plays, which itself is explicitly single-threaded, README.md:20).
 
-The device side exercises the two TPU levers the reference lacks:
+The device side exercises the three TPU levers the reference lacks:
   * batching — a vmapped batch of independent backward passes (MPC farms / GPS
-    rollout fitting are batched in practice), and
-  * parallel-in-time — the associative-scan Riccati (core/pscan_lqr.py).
-The better of sequential-scan and parallel-scan throughput is reported.
+    rollout fitting are batched in practice),
+  * parallel-in-time — the associative-scan Riccati (core/pscan_lqr.py), and
+  * a lane-major Pallas kernel — batch on the 128 vector lanes, unrolled
+    small-matrix Cholesky/solves, value carry in VMEM (core/pallas_lqr.py).
+The best of the three throughputs is reported.
+
+Timing methodology: REPS calls are chained on-device inside one jitted
+``lax.fori_loop`` whose carry perturbs an input by ``1e-30 * sum(kff)`` (an exact
+no-op in f32 that still forces a data dependency between iterations), and the result
+is fetched to the host.  This measures true device compute even on transports whose
+``block_until_ready`` acks before remote execution finishes (the naive
+dispatch-loop timing overstates throughput by >1000x on such links).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -54,43 +63,70 @@ def _problem(T, dx, du, batch, dtype=None):
     return {k: jnp.asarray(v, dtype) for k, v in p.items()}
 
 
+def _timeit_chained(kff_of, cost, A, B, reps):
+    """ms per call via an on-device dependency-chained loop + host fetch."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    def chained(cost, A, B):
+        def body(i, cx):
+            kff = kff_of(cost._replace(cx=cx), A, B)
+            return cx + 1e-30 * jnp.sum(kff)
+
+        return jnp.sum(lax.fori_loop(0, reps, body, cost.cx))
+
+    f = jax.jit(chained)
+    float(f(cost, A, B))  # compile + warm (fetch forces completion)
+    start = time.perf_counter()
+    float(f(cost, A, B))
+    return (time.perf_counter() - start) / reps
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
+    from trajopt_tpu.core.pallas_lqr import _pallas_ilqr_backward
     from trajopt_tpu.core.pscan_lqr import pilqr_backward
     from trajopt_tpu.core.scan_lqr import ilqr_backward
     from trajopt_tpu.core.types import QuadraticCost
     from trajopt_tpu.utils.native import bench_backward_native
 
     T, dx, du = 1000, 4, 2
-    BATCH = 128
     dtype = jnp.float32
     dev = jax.devices()[0]
+    on_tpu = dev.platform != "cpu"
 
-    p = _problem(T, dx, du, BATCH, dtype)
-    cost = QuadraticCost(
-        Cxx=p["Cxx"], cx=p["cx"], Cuu=p["Cuu"], cu=p["cu"], Cxu=p["Cxu"], c0=p["c0"]
-    )
+    def make(batch):
+        p = _problem(T, dx, du, batch, dtype)
+        cost = QuadraticCost(
+            Cxx=p["Cxx"], cx=p["cx"], Cuu=p["Cuu"], cu=p["cu"], Cxu=p["Cxu"], c0=p["c0"]
+        )
+        return cost, p["A"], p["B"]
 
-    seq = jax.jit(
-        jax.vmap(lambda c, A, B: ilqr_backward(c, A, B, 0.0, 1)[0])
-    )
-    par = jax.jit(jax.vmap(lambda c, A, B: pilqr_backward(c, A, B)[0]))
+    def seq(c, A, B):
+        return jax.vmap(lambda c_, a, b: ilqr_backward(c_, a, b, 0.0, 1)[0].kff)(c, A, B)
 
-    def timeit(fn, reps=5):
-        out = fn(cost, p["A"], p["B"])  # compile + warm
-        jax.block_until_ready(out)
-        start = time.perf_counter()
-        for _ in range(reps):
-            out = fn(cost, p["A"], p["B"])
-        jax.block_until_ready(out)
-        return (time.perf_counter() - start) / reps
+    def par(c, A, B):
+        return jax.vmap(lambda c_, a, b: pilqr_backward(c_, a, b)[0].kff)(c, A, B)
 
-    t_seq = timeit(seq)
-    t_par = timeit(par)
-    t_dev = min(t_seq, t_par)
-    dev_tps = BATCH * T / t_dev
+    def pls(c, A, B):
+        lam = jnp.zeros(c.cx.shape[0], c.cx.dtype)
+        return _pallas_ilqr_backward(
+            c, A, B, lam, 1, time_chunk=8, interpret=False
+        )[0].kff
+
+    results = {}
+    cost, A, B = make(1024)
+    results["seq-scan@1024"] = 1024 * T / _timeit_chained(seq, cost, A, B, reps=3)
+    results["assoc-scan@1024"] = 1024 * T / _timeit_chained(par, cost, A, B, reps=3)
+    if on_tpu:  # Mosaic kernel: TPU only (tests cover interpreter mode)
+        results["pallas@1024"] = 1024 * T / _timeit_chained(pls, cost, A, B, reps=10)
+        cost8, A8, B8 = make(8192)
+        results["pallas@8192"] = 8192 * T / _timeit_chained(pls, cost8, A8, B8, reps=10)
+
+    dev_tps = max(results.values())
 
     # CPU C++ baseline on the identical single-instance problem (per-timestep cost is
     # batch-independent for the sequential loop; scale by the batch for parity)
@@ -102,11 +138,12 @@ def main():
     )
     cpu_tps = reps * T / t_cpu
 
+    detail = ", ".join(f"{k} {v:.3g}" for k, v in results.items())
     result = {
         "metric": "ilqr_backward_timesteps_per_sec",
         "value": round(dev_tps, 1),
-        "unit": f"timesteps/s ({dev.platform}, batch={BATCH}, T={T}, dx={dx}, du={du}, "
-                f"best of seq-scan {BATCH*T/t_seq:.3g} / assoc-scan {BATCH*T/t_par:.3g})",
+        "unit": f"timesteps/s ({dev.platform}, T={T}, dx={dx}, du={du}; {detail}; "
+                f"chained on-device timing)",
         "vs_baseline": round(dev_tps / cpu_tps, 2),
     }
     print(json.dumps(result))

@@ -180,6 +180,195 @@ def make_ilqr_solver(
     return solve
 
 
+def make_ilqr_solver_batched(
+    env,
+    nb_steps: int,
+    nb_iter: int = 10,
+    activation: dict | None = None,
+    alphas=DEFAULT_ALPHAS,
+    lmbda: float = 1.0,
+    min_lmbda: float = 1e-6,
+    max_lmbda: float = 1e6,
+    mult_lmbda: float = 1.6,
+    tolfun: float = 1e-6,
+    tolgrad: float = 1e-4,
+    min_imp: float = 0.0,
+    reg: int = 1,
+    backward: str = "scan",
+    time_chunk: int = 8,
+):
+    """Batch-native iLQR: ``solve(x0s (N, dx), kff_init (N, T, du)|None)``.
+
+    Same accept/reject semantics as :func:`make_ilqr_solver`, but the batch axis is
+    primal rather than vmapped, so the backward pass can run as ONE kernel over all
+    instances.  ``backward='pallas'`` uses the lane-major Pallas kernel
+    (core/pallas_lqr.py — TPU only); ``'scan'`` uses the vmapped ``lax.scan`` kernel.
+    The per-instance λ-escalation loops become one global ``while_loop`` with masked
+    per-instance updates — iterate while any live instance still needs escalation,
+    freeze the rest — which is exactly what vmapping a ``while_loop`` lowers to, minus
+    the per-instance backward dispatch.
+    """
+    weighting = make_weighting(nb_steps, activation)
+    alphas = jnp.asarray(alphas)
+    T = nb_steps
+
+    def expand(xref, uref):
+        A, B = linearize_dynamics_delta(env.dynamics, xref[:T], uref)
+        cost = quadratize_cost_delta(env.cost, xref, uref, weighting)
+        return A, B, cost
+
+    if backward == "pallas":
+        from ..core.pallas_lqr import pallas_ilqr_backward
+
+        def bwd(cost, A, B, lam):
+            pol, dV, div = pallas_ilqr_backward(
+                cost, A, B, lam, reg, time_chunk=time_chunk
+            )
+            return pol.K, pol.kff, dV, div
+    elif backward == "scan":
+
+        def bwd(cost, A, B, lam):
+            def one(c, a, b, l):
+                pol, _, _, dV, div = ilqr_backward(c, a, b, l, reg)
+                return pol.K, pol.kff, dV, div
+
+            return jax.vmap(one)(cost, A, B, lam)
+    else:
+        raise ValueError(f"unknown backward impl {backward!r}")
+
+    def backward_with_lm(cost, A, B, lmbda0, dlmbda0, frozen):
+        """Global λ-escalation loop with per-instance masking (cf. ilqr.py:160-173)."""
+
+        def active_of(lmbda, diverged, first):
+            return (first | diverged) & (lmbda <= max_lmbda) & ~frozen
+
+        def cond(carry):
+            _, lmbda, _, diverged, first = carry
+            return jnp.any(active_of(lmbda, diverged, first))
+
+        def body(carry):
+            (K, kff, dV), lmbda, dlmbda, diverged, first = carry
+            active = active_of(lmbda, diverged, first)
+            Kn, kffn, dVn, divn = bwd(cost, A, B, lmbda)
+            sel = lambda m, a, b: jnp.where(
+                m.reshape((-1,) + (1,) * (a.ndim - 1)), a, b
+            )
+            K = sel(active, Kn, K)
+            kff = sel(active, kffn, kff)
+            dV = sel(active, dVn, dV)
+            new_div = jnp.where(active, divn, diverged)
+            esc = active & divn
+            dlmbda_n = jnp.where(esc, jnp.maximum(dlmbda * mult_lmbda, mult_lmbda), dlmbda)
+            lmbda_n = jnp.where(esc, jnp.maximum(lmbda * dlmbda_n, min_lmbda), lmbda)
+            return (K, kff, dV), lmbda_n, dlmbda_n, new_div, jnp.zeros_like(first)
+
+        N = lmbda0.shape[0]
+        K0, kff0, dV0, div0 = bwd(cost, A, B, lmbda0)
+        first0 = jnp.ones(N, bool)
+        init = ((K0, kff0, dV0), lmbda0, dlmbda0, jnp.zeros(N, bool), first0)
+        (out, lmbda, dlmbda, diverged, _) = lax.while_loop(cond, body, init)
+        return out, lmbda, dlmbda, diverged
+
+    def forward_all(K, kff, xref, uref):
+        def one(K1, kff1, xr, ur):
+            ctl = LinearPolicy(K=K1, kff=kff1)
+            return jax.vmap(
+                lambda a: rollout_tracking(env, ctl, a, xr[0], xr, ur, weighting)
+            )(alphas)
+
+        return jax.vmap(one)(K, kff, xref, uref)  # each (N, nA, ...)
+
+    def iteration(state: ILQRState, _):
+        N = state.lmbda.shape[0]
+        A, B, cost = jax.vmap(expand)(state.xref, state.uref)
+
+        (K_n, kff_n, dV), lmbda, dlmbda, diverged = backward_with_lm(
+            cost, A, B, state.lmbda, state.dlmbda, state.done
+        )
+        backpass_done = ~diverged
+
+        g_norm = jnp.mean(
+            jnp.max(jnp.abs(kff_n) / (jnp.abs(state.uref) + 1.0), axis=1), axis=-1
+        )
+        grad_done = (g_norm < tolgrad) & (lmbda < 1e-5)
+
+        states_all, actions_all, costs_all = forward_all(
+            K_n, kff_n, state.xref, state.uref
+        )
+        returns = jnp.sum(costs_all, axis=2)                          # (N, nA)
+        dreturns = state.last_return[:, None] - returns
+        expected = -1.0 * alphas[None] * (dV[:, :1] + alphas[None] * dV[:, 1:])
+        imp = dreturns / expected
+        ok = (imp >= min_imp) & backpass_done[:, None] & jnp.isfinite(returns)
+        accepted = jnp.any(ok, axis=1)
+        idx = jnp.argmax(ok, axis=1)                                  # first acceptable α
+        rows = jnp.arange(N)
+
+        dlmbda_acc = jnp.minimum(dlmbda / mult_lmbda, 1.0 / mult_lmbda)
+        lmbda_acc = lmbda * dlmbda_acc * (lmbda > min_lmbda)
+        dlmbda_rej = jnp.maximum(dlmbda * mult_lmbda, mult_lmbda)
+        lmbda_rej = jnp.maximum(lmbda * dlmbda_rej, min_lmbda)
+
+        take = accepted & ~grad_done
+        sel = lambda m, a, b: jnp.where(m.reshape((-1,) + (1,) * (a.ndim - 1)), a, b)
+        xref = sel(take, states_all[rows, idx], state.xref)
+        uref = sel(take, actions_all[rows, idx], state.uref)
+        K = sel(take, K_n, state.K)
+        kff = sel(take, kff_n, state.kff)
+        last_return = jnp.where(take, returns[rows, idx], state.last_return)
+
+        new_lmbda = jnp.where(take, lmbda_acc, lmbda_rej)
+        new_dlmbda = jnp.where(take, dlmbda_acc, dlmbda_rej)
+
+        done = (
+            grad_done
+            | (take & (dreturns[rows, idx] < tolfun))
+            | (~accepted & (lmbda_rej > max_lmbda))
+        )
+        new = ILQRState(
+            xref=xref, uref=uref, K=K, kff=kff,
+            lmbda=new_lmbda, dlmbda=new_dlmbda,
+            last_return=last_return, done=done,
+        )
+        # per-instance equivalent of lax.cond(done, identity, work)
+        merged = jax.tree.map(
+            lambda a, b: jnp.where(
+                state.done.reshape((-1,) + (1,) * (a.ndim - 1)), a, b
+            ),
+            state, new,
+        )
+        return merged, merged.last_return
+
+    def solve(x0s: Array, kff_init: Array | None = None):
+        N = x0s.shape[0]
+        dx, du = env.dm_state, env.dm_act
+        xref0 = jnp.zeros((N, T + 1, dx), x0s.dtype).at[:, 0].set(x0s)
+        kff0 = jnp.zeros((N, T, du), x0s.dtype) if kff_init is None else kff_init
+        K0 = jnp.zeros((N, T, du, dx), x0s.dtype)
+
+        states_all, actions_all, costs_all = forward_all(
+            K0, kff0, xref0, jnp.zeros((N, T, du), x0s.dtype)
+        )
+        finite = jnp.all(states_all < 1e8, axis=(2, 3))
+        idx = jnp.argmax(finite, axis=1)
+        rows = jnp.arange(N)
+
+        state = ILQRState(
+            xref=states_all[rows, idx],
+            uref=actions_all[rows, idx],
+            K=K0,
+            kff=kff0,
+            lmbda=jnp.full((N,), lmbda, x0s.dtype),
+            dlmbda=jnp.ones((N,), x0s.dtype),
+            last_return=jnp.sum(costs_all[rows, idx], axis=1),
+            done=jnp.zeros((N,), bool),
+        )
+        state, trace = lax.scan(iteration, state, None, length=nb_iter)
+        return state, trace
+
+    return solve
+
+
 def make_mpc_runner(
     env,
     horizon: int,
@@ -219,6 +408,46 @@ def make_mpc_runner(
     return run
 
 
+def make_mpc_runner_batched(
+    env,
+    horizon: int,
+    nb_steps: int,
+    nb_iter: int = 10,
+    backward: str = "scan",
+    **ilqr_kwargs,
+):
+    """Batch-native MPC: ``run(keys (N,), x0s (N, dx))`` solves ALL episodes' iLQR
+    problems jointly at every control step, so the backward pass is one batched
+    kernel call (``backward='pallas'`` on TPU) instead of N vmapped scans."""
+    solve = make_ilqr_solver_batched(
+        env, horizon, nb_iter=nb_iter, backward=backward, **ilqr_kwargs
+    )
+    du = env.dm_act
+
+    def run(keys: Array, x0s: Array):
+        N = x0s.shape[0]
+        keys_t = jax.vmap(lambda k: jax.random.split(k, nb_steps))(keys)
+        keys_t = jnp.swapaxes(keys_t, 0, 1)  # (nb_steps, N)
+
+        def step(carry, ks):
+            x, kff_warm = carry
+            state, _ = solve(x, kff_warm)
+            u = state.uref[:, 0]
+            c = jax.vmap(lambda x1, u1: env.cost(x1, u1, u1, 1.0))(x, u)
+            xn = jax.vmap(env.step)(ks, x, u)
+            kff_next = jnp.concatenate(
+                [state.uref[:, 1:], jnp.zeros((N, 1, du), x.dtype)], axis=1
+            )
+            return (xn, kff_next), (x, u, c)
+
+        init = (x0s, jnp.zeros((N, horizon, du), x0s.dtype))
+        (x_T, _), (xs, us, cs) = lax.scan(step, init, keys_t)
+        states = jnp.concatenate([jnp.swapaxes(xs, 0, 1), x_T[:, None]], axis=1)
+        return states, jnp.swapaxes(us, 0, 1), jnp.swapaxes(cs, 0, 1)
+
+    return run
+
+
 def run_mpc_batch(
     env,
     key: Array,
@@ -228,26 +457,48 @@ def run_mpc_batch(
     nb_iter: int = 10,
     mesh=None,
     axis_name: str = "dp",
+    batched: bool = False,
+    backward: str = "scan",
     **ilqr_kwargs,
 ):
-    """Batch of MPC episodes, vmapped and (optionally) sharded over a mesh axis.
+    """Batch of MPC episodes, sharded over a mesh axis when given.
 
     TPU-native replacement for the 50-process joblib farm of
     examples/ilqr/mpc/pendulum_parallel.py:40-45: the episode axis becomes a sharded
-    batch dimension on one or many chips.
+    batch dimension on one or many chips.  ``batched=False`` vmaps the per-instance
+    solver; ``batched=True`` uses the batch-native solver so the backward pass runs
+    as one kernel (set ``backward='pallas'`` on TPU for the Pallas fast path), with
+    ``shard_map`` placing each device's episode shard through its own kernel call.
     """
-    run = make_mpc_runner(env, horizon, nb_steps, nb_iter=nb_iter, **ilqr_kwargs)
-
     keys = jax.random.split(key, nb_episodes)
     x0s = jax.vmap(env.sample_init)(keys)
 
-    batched = jax.jit(jax.vmap(run))
+    if batched:
+        run = make_mpc_runner_batched(
+            env, horizon, nb_steps, nb_iter=nb_iter, backward=backward, **ilqr_kwargs
+        )
+    else:
+        run_one = make_mpc_runner(env, horizon, nb_steps, nb_iter=nb_iter, **ilqr_kwargs)
+        run = jax.vmap(run_one)
+
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         sharding = NamedSharding(mesh, P(axis_name))
         keys = jax.device_put(keys, sharding)
         x0s = jax.device_put(x0s, sharding)
+        if batched:
+            from jax import shard_map
 
-    states, actions, costs = batched(keys, x0s)
+            run = shard_map(
+                run, mesh=mesh,
+                in_specs=(P(axis_name), P(axis_name)),
+                out_specs=(P(axis_name), P(axis_name), P(axis_name)),
+                # the solver creates fresh (replicated) zero carries inside scans;
+                # they only ever combine with per-shard data, so VMA checking is
+                # safely relaxed here
+                check_vma=False,
+            )
+
+    states, actions, costs = jax.jit(run)(keys, x0s)
     return {"x": states, "u": actions, "c": costs}
