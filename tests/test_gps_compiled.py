@@ -1,0 +1,85 @@
+"""Tests for the fully-compiled MBGPS solver (parallel/gps.py).
+
+The host solver (solvers/gps.MBGPS, itself validated against the reference's
+Riccati oracle in test_gps.py) optimizes the dual with scipy SLSQP; the compiled
+solver replaces it with a jit-safe log-α bisection.  Both must land on the same
+constrained optimum: the dual is 1-D and the KL constraint function is monotone
+in α, so the two optimizers share the unique root KL(α) = kl_bound.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import trajopt_tpu
+from trajopt_tpu.parallel.gps import (
+    make_gps_mpc_runner,
+    make_mbgps_solver,
+    run_gps_mpc_batch,
+)
+from trajopt_tpu.solvers.gps import MBGPS
+
+
+def test_compiled_matches_host_on_lqr():
+    env = trajopt_tpu.make("LQR-TO-v0")
+    mu0, sigma0 = env.init()
+
+    solve = jax.jit(make_mbgps_solver(env, nb_steps=60, nb_iter=8, kl_bound=100.0))
+    _, trace = solve(jax.random.PRNGKey(0), jnp.asarray(mu0), jnp.asarray(sigma0))
+
+    host = MBGPS(env, nb_steps=60, init_state=env.init(), kl_bound=100.0)
+    host_trace = host.run(nb_iter=8)
+
+    np.testing.assert_allclose(np.asarray(trace), np.asarray(host_trace), rtol=1e-5)
+
+
+def test_compiled_matches_host_on_pendulum():
+    env = trajopt_tpu.make("Pendulum-TO-v0", dt=0.05).replace(uw=(1e-5,))
+    mu0, sigma0 = env.init()
+
+    solve = jax.jit(make_mbgps_solver(env, nb_steps=60, nb_iter=12, kl_bound=2.0))
+    state, trace = solve(jax.random.PRNGKey(0), jnp.asarray(mu0), jnp.asarray(sigma0))
+
+    host = MBGPS(env, nb_steps=60, init_state=env.init(), kl_bound=2.0)
+    host_trace = host.run(nb_iter=12)
+
+    tr = np.asarray(trace)
+    np.testing.assert_allclose(tr, np.asarray(host_trace), rtol=1e-4)
+    assert np.all(np.diff(tr) <= 1e-6)  # KL-accepted improvements only
+
+
+def test_compiled_solver_vmaps():
+    """The whole solver is one XLA program — vmapping over initial states is the
+    compiled replacement for the reference's joblib GPS farms."""
+    env = trajopt_tpu.make("LQR-TO-v0")
+    mu0, sigma0 = env.init()
+    mu0s = jnp.asarray(mu0) + 0.5 * jax.random.normal(jax.random.PRNGKey(2), (3, 2))
+    sigma0s = jnp.tile(jnp.asarray(sigma0), (3, 1, 1))
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+
+    solve = make_mbgps_solver(env, nb_steps=40, nb_iter=5, kl_bound=100.0)
+    states, traces = jax.jit(jax.vmap(solve))(keys, mu0s, sigma0s)
+    tr = np.asarray(traces)
+    assert tr.shape == (3, 6)
+    assert np.all(np.isfinite(tr))
+    assert np.all(tr[:, -1] < tr[:, 0])
+
+    # row 0 equals the unbatched solve
+    _, t0 = jax.jit(solve)(keys[0], mu0s[0], sigma0s[0])
+    np.testing.assert_allclose(tr[0], np.asarray(t0), rtol=1e-8)
+
+
+def test_gps_mpc_runner_and_batch():
+    env = trajopt_tpu.make("Pendulum-TO-v0", dt=0.05).replace(uw=(1e-5,))
+    run = jax.jit(make_gps_mpc_runner(env, horizon=15, nb_steps=10, nb_iter=3,
+                                      kl_bound=2.0))
+    xs, us, cs = run(jax.random.PRNGKey(1), jnp.asarray(env.x0))
+    assert xs.shape == (11, 2) and us.shape == (10, 1)
+    assert np.all(np.isfinite(np.asarray(xs)))
+
+    data = run_gps_mpc_batch(
+        env, jax.random.PRNGKey(1), nb_episodes=4, horizon=15, nb_steps=6,
+        nb_iter=2, kl_bound=2.0,
+    )
+    assert data["x"].shape == (4, 7, 2)
+    assert np.all(np.isfinite(np.asarray(data["x"])))

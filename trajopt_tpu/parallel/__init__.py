@@ -1,1 +1,1 @@
-from . import regression  # noqa: F401
+from . import gps, mpc, regression  # noqa: F401

@@ -1,0 +1,260 @@
+"""Fully-compiled KL-constrained trajectory optimization (model-based GPS).
+
+The host solver (solvers/gps.MBGPS) preserves the reference's architecture: a scipy
+SLSQP dual optimization (gps/mbgps.py:250-255) driving one jitted dual evaluation.
+That host↔device ping-pong makes it unbatchable and unusable inside compiled MPC
+loops.  This module compiles the WHOLE solver into one device program:
+
+* The (non-stepwise) dual is 1-D and the constraint function is monotone: the policy
+  KL to the previous controller decreases in the dual α (stronger KL penalty ⇒ the
+  soft-Riccati solution stays closer to the old policy).  The SLSQP minimization of
+  the dual therefore reduces to root-finding ``KL(α) = kl_bound``, implemented as a
+  fixed-length bisection on log₁₀ α over the reference's own search box
+  [1e-16, 1e16] (mbgps.py:251 bounds).  A diverged backward pass (−Quu not PD) is
+  treated as "α too small", which restores definiteness exactly like the reference's
+  α reset to 1e8 (mbgps.py:261) but inside the bracket.
+* Each bisection step evaluates the reference's five-kernel chain
+  augment → soft-KL backward → Gaussian forward → expectation + KL
+  (mbgps.py:173-195) as traced scans — the same kernels the host solver jits.
+* The outer iteration (propagate → quadratize → dual → KL-acceptance → adaptive
+  bound, mbgps.py:226-325) is a ``lax.scan``, so the full ``run()`` is one XLA
+  program that can be vmapped over problem batches and embedded in MPC scans —
+  the compiled counterpart of the reference's joblib GPS-MPC farms
+  (examples/gps/analytical/mpc/mb_pendulum_parallel.py:8-59).
+
+Only ``kl_stepwise=False`` is supported here (the per-timestep dual is a T-dim
+optimization the reference hands to SLSQP); use solvers/gps.MBGPS for stepwise.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array, lax
+
+from ..core.diff import evaluate_quadratic_cost, quadratize_cost_abs
+from ..core.ekf import extended_kalman
+from ..core.scan_lqr import (
+    augment_cost_kl,
+    gaussian_forward,
+    gps_backward,
+    policy_kl,
+)
+from ..core.types import (
+    GaussianSequence,
+    LinearGaussianPolicy,
+)
+from ..solvers.common import make_weighting
+
+
+class GPSState(NamedTuple):
+    ctl: LinearGaussianPolicy
+    xdist: GaussianSequence
+    dyn: object             # LinearGaussianDynamics
+    cost: object            # QuadraticCost (absolute convention)
+    last_return: Array      # ()
+    kl_mult: Array          # () adaptive bound multiplier
+    alpha: Array            # () last accepted dual
+
+
+def make_mbgps_solver(
+    env,
+    nb_steps: int,
+    nb_iter: int = 10,
+    init_action_sigma: float = 1.0,
+    kl_bound: float = 0.1,
+    kl_adaptive: bool = False,
+    activation: dict | None = None,
+    slew_rate: bool = False,
+    action_penalty=None,
+    bisect_iters: int = 64,
+):
+    """Build ``solve(key, mu0, sigma0) -> (state, trace)`` — compiled MBGPS.
+
+    ``trace`` is the (nb_iter+1,) return sequence (held on rejected iterations,
+    mirroring the reference's accept-only trace, mbgps.py:271-321).
+    """
+    overrides = {"slew_rate": slew_rate}
+    if action_penalty is not None:
+        overrides["uw"] = tuple(float(action_penalty) for _ in range(env.dm_act))
+    env = env.replace(**overrides)
+
+    T = nb_steps
+    dx, du = env.dm_state, env.dm_act
+    weighting = make_weighting(nb_steps, activation)
+    kl_base = kl_bound
+    kl_mult_min, kl_mult_max = 0.1, 5.0
+    LOG_LO, LOG_HI = -16.0, 16.0
+
+    def propagate(ctl, mu0, sigma0):
+        """EKF mean/cov propagation + stage costs along the mean (mbgps.py:125-133)."""
+        xdist, udist, lgd = extended_kalman(env, ctl, mu0, sigma0)
+        u_last = jnp.concatenate([jnp.zeros((1, du), udist.mu.dtype), udist.mu[:-1]])
+        costs = jax.vmap(env.cost)(xdist.mu[:T], udist.mu, u_last, weighting[:T])
+        c_T = env.cost(
+            xdist.mu[T], jnp.zeros(du, udist.mu.dtype),
+            jnp.zeros(du, udist.mu.dtype), weighting[T],
+        )
+        return xdist, udist, lgd, jnp.sum(costs) + c_T
+
+    def quadratize(xmu, umu):
+        return quadratize_cost_abs(env.cost, xmu, umu, weighting)
+
+    def kl_at(log_alpha, cost, dyn, ctl, mu0, sigma0):
+        alpha = jnp.full(T, 10.0 ** log_alpha, mu0.dtype)
+        agcost = augment_cost_kl(cost, ctl, alpha)
+        lgc, xvalue, xuvalue, diverged = gps_backward(agcost, dyn, alpha)
+        xdist, udist, _ = gaussian_forward(dyn, lgc, mu0, sigma0)
+        kl = jnp.sum(policy_kl(lgc, ctl, xdist))
+        return kl, diverged, (lgc, xdist, udist)
+
+    def bisect_dual(cost, dyn, ctl, mu0, sigma0, bound):
+        """Root-find KL(α) = bound on log₁₀ α (see module docstring)."""
+
+        def body(carry, _):
+            lo, hi = carry
+            mid = 0.5 * (lo + hi)
+            kl, diverged, _ = kl_at(mid, cost, dyn, ctl, mu0, sigma0)
+            too_small = diverged | (kl > bound)
+            return (jnp.where(too_small, mid, lo), jnp.where(too_small, hi, mid)), None
+
+        (lo, hi), _ = lax.scan(
+            body, (jnp.asarray(LOG_LO, mu0.dtype), jnp.asarray(LOG_HI, mu0.dtype)),
+            None, length=bisect_iters,
+        )
+        return 0.5 * (lo + hi)
+
+    def iteration(state: GPSState, _):
+        mu0 = state.xdist.mu[0]
+        sigma0 = state.xdist.sigma[0]
+        bound = kl_base * state.kl_mult if kl_adaptive else jnp.asarray(
+            kl_base, mu0.dtype
+        )
+
+        log_alpha = bisect_dual(state.cost, state.dyn, state.ctl, mu0, sigma0, bound)
+        kl, diverged, (lgc, xdist_lin, udist_lin) = kl_at(
+            log_alpha, state.cost, state.dyn, state.ctl, mu0, sigma0
+        )
+        expected_return = evaluate_quadratic_cost(
+            state.cost, xdist_lin.mu, udist_lin.mu
+        )
+
+        # KL-constraint acceptance (mbgps.py:271)
+        accept = (jnp.abs(kl - bound) < 0.25 * bound) & ~diverged
+
+        xdist_n, udist_n, lgd_n, ret = propagate(lgc, mu0, sigma0)
+        cost_n = quadratize(xdist_n.mu, udist_n.mu)
+
+        # adaptive bound multiplier (mbgps.py:276-292)
+        expected_imp = state.last_return - expected_return
+        actual_imp = state.last_return - ret
+        mult = expected_imp / (2.0 * jnp.maximum(1e-4, expected_imp - actual_imp))
+        mult = jnp.clip(mult, 0.1, 5.0)
+        kl_mult_n = jnp.clip(mult * state.kl_mult, kl_mult_min, kl_mult_max)
+
+        sel = lambda a, b: jax.tree.map(lambda x, y: jnp.where(accept, x, y), a, b)
+        new = GPSState(
+            ctl=sel(lgc, state.ctl),
+            xdist=sel(xdist_n, state.xdist),
+            dyn=sel(lgd_n, state.dyn),
+            cost=sel(cost_n, state.cost),
+            last_return=jnp.where(accept, ret, state.last_return),
+            kl_mult=(
+                jnp.where(accept, kl_mult_n, state.kl_mult)
+                if kl_adaptive else state.kl_mult
+            ),
+            alpha=10.0 ** log_alpha,
+        )
+        return new, new.last_return
+
+    def solve(key: Array, mu0: Array, sigma0: Array):
+        ctl0 = LinearGaussianPolicy(
+            K=jnp.zeros((T, du, dx), mu0.dtype),
+            kff=1e-4 * jax.random.normal(key, (T, du), mu0.dtype),
+            sigma=jnp.tile(
+                init_action_sigma * jnp.eye(du, dtype=mu0.dtype), (T, 1, 1)
+            ),
+        )
+        xdist0, udist0, lgd0, ret0 = propagate(ctl0, mu0, sigma0)
+        cost0 = quadratize(xdist0.mu, udist0.mu)
+
+        state = GPSState(
+            ctl=ctl0, xdist=xdist0, dyn=lgd0, cost=cost0,
+            last_return=ret0,
+            kl_mult=jnp.asarray(1.0, mu0.dtype),
+            alpha=jnp.asarray(1e8, mu0.dtype),
+        )
+        state, trace = lax.scan(iteration, state, None, length=nb_iter)
+        return state, jnp.concatenate([ret0[None], trace])
+
+    return solve
+
+
+def make_gps_mpc_runner(
+    env,
+    horizon: int,
+    nb_steps: int,
+    nb_iter: int = 5,
+    **gps_kwargs,
+):
+    """Receding-horizon GPS-MPC as one compiled program — the device-native
+    replacement for the reference's per-step solver re-instantiation + joblib farm
+    (examples/gps/analytical/mpc/mb_pendulum.py:23-41, mb_pendulum_parallel.py:8-59).
+
+    ``run(key, x0) -> (states, actions, costs)``: at every control step a full
+    compiled MBGPS solve from the current state (with the env's init covariance),
+    applying the first mean action on the noisy system.
+    """
+    solve = make_mbgps_solver(env, horizon, nb_iter=nb_iter, **gps_kwargs)
+    du = env.dm_act
+
+    def run(key: Array, x0: Array):
+        _, sigma0 = env.init()
+        sigma0 = jnp.asarray(sigma0, x0.dtype)
+        keys = jax.random.split(key, nb_steps)
+
+        def step(carry, k):
+            x = carry
+            k_solve, k_step = jax.random.split(k)
+            state, _ = solve(k_solve, x, sigma0)
+            u = state.ctl.kff[0] + state.ctl.K[0] @ x
+            u = jnp.clip(u, -env.ulim, env.ulim)
+            c = env.cost(x, u, u, 1.0)
+            xn = env.step(k_step, x, u)
+            return xn, (x, u, c)
+
+        x_T, (xs, us, cs) = lax.scan(step, x0, keys)
+        return jnp.concatenate([xs, x_T[None]], axis=0), us, cs
+
+    return run
+
+
+def run_gps_mpc_batch(
+    env,
+    key: Array,
+    nb_episodes: int,
+    horizon: int,
+    nb_steps: int,
+    nb_iter: int = 5,
+    mesh=None,
+    axis_name: str = "dp",
+    **gps_kwargs,
+):
+    """Batch of GPS-MPC episodes, vmapped and (optionally) mesh-sharded — the DP
+    replacement for the 50-process loky pool of mb_pendulum_parallel.py:42-52."""
+    run = make_gps_mpc_runner(env, horizon, nb_steps, nb_iter=nb_iter, **gps_kwargs)
+
+    keys = jax.random.split(key, nb_episodes)
+    x0s = jax.vmap(env.sample_init)(keys)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sharding = NamedSharding(mesh, P(axis_name))
+        keys = jax.device_put(keys, sharding)
+        x0s = jax.device_put(x0s, sharding)
+
+    states, actions, costs = jax.jit(jax.vmap(run))(keys, x0s)
+    return {"x": states, "u": actions, "c": costs}
