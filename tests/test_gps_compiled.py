@@ -83,3 +83,26 @@ def test_gps_mpc_runner_and_batch():
     )
     assert data["x"].shape == (4, 7, 2)
     assert np.all(np.isfinite(np.asarray(data["x"])))
+
+
+def test_batched_solver_matches_vmapped_single():
+    """The batch-native solver (scan engine) must reproduce vmapping the
+    single-instance solver exactly — the per-instance bisection brackets are
+    independent, so lockstep batching changes nothing."""
+    from trajopt_tpu.parallel.gps import make_mbgps_solver_batched
+
+    env = trajopt_tpu.make("LQR-TO-v0")
+    mu0, sigma0 = env.init()
+    mu0s = jnp.asarray(mu0) + 0.5 * jax.random.normal(jax.random.PRNGKey(5), (3, 2))
+    sigma0s = jnp.tile(jnp.asarray(sigma0), (3, 1, 1))
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+
+    single = make_mbgps_solver(env, nb_steps=40, nb_iter=5, kl_bound=100.0)
+    _, ref_traces = jax.jit(jax.vmap(single))(keys, mu0s, sigma0s)
+
+    batched = make_mbgps_solver_batched(env, nb_steps=40, nb_iter=5, kl_bound=100.0)
+    _, traces = jax.jit(batched)(keys, mu0s, sigma0s)
+
+    np.testing.assert_allclose(
+        np.asarray(traces), np.asarray(ref_traces), rtol=1e-9, atol=1e-9
+    )

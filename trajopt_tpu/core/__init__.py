@@ -1,1 +1,1 @@
-from . import diff, pallas_lqr, scan_lqr, types  # noqa: F401
+from . import diff, pallas_gps, pallas_lqr, scan_lqr, types  # noqa: F401

@@ -192,6 +192,180 @@ def make_mbgps_solver(
     return solve
 
 
+def make_mbgps_solver_batched(
+    env,
+    nb_steps: int,
+    nb_iter: int = 10,
+    init_action_sigma: float = 1.0,
+    kl_bound: float = 0.1,
+    kl_adaptive: bool = False,
+    activation: dict | None = None,
+    slew_rate: bool = False,
+    action_penalty=None,
+    bisect_iters: int = 64,
+    engine: str = "scan",
+    time_chunk: int = 8,
+):
+    """Batch-native compiled MBGPS: ``solve(keys (N,), mu0s (N,dx), sigma0s
+    (N,dx,dx)) -> (state, traces (N, nb_iter+1))``.
+
+    Same semantics as :func:`make_mbgps_solver` with the batch axis primal.  The
+    dual bisection runs per-instance brackets in lockstep; with
+    ``engine='pallas'`` every bisection step is TWO lane-major Pallas kernel
+    launches for ALL instances (core/pallas_gps.py: fused augment+backward and
+    fused forward+KL) instead of N vmapped scan chains — the GPS analogue of the
+    batch-native iLQR path (TPU only; ~4x over the scan engine at N=64, T=60).
+    ``engine='scan'`` vmaps the lax.scan kernels (any backend).
+    """
+    overrides = {"slew_rate": slew_rate}
+    if action_penalty is not None:
+        overrides["uw"] = tuple(float(action_penalty) for _ in range(env.dm_act))
+    env = env.replace(**overrides)
+
+    T = nb_steps
+    dx, du = env.dm_state, env.dm_act
+    weighting = make_weighting(nb_steps, activation)
+    kl_base = kl_bound
+    LOG_LO, LOG_HI = -16.0, 16.0
+
+    if engine == "pallas":
+        from ..core.pallas_gps import pallas_gps_backward, pallas_gps_forward_kl
+
+    def propagate(ctl, mu0, sigma0):
+        xdist, udist, lgd = extended_kalman(env, ctl, mu0, sigma0)
+        u_last = jnp.concatenate([jnp.zeros((1, du), udist.mu.dtype), udist.mu[:-1]])
+        costs = jax.vmap(env.cost)(xdist.mu[:T], udist.mu, u_last, weighting[:T])
+        c_T = env.cost(
+            xdist.mu[T], jnp.zeros(du, udist.mu.dtype),
+            jnp.zeros(du, udist.mu.dtype), weighting[T],
+        )
+        return xdist, udist, lgd, jnp.sum(costs) + c_T
+
+    propagate_b = jax.vmap(propagate)
+    quadratize_b = jax.vmap(
+        lambda xmu, umu: quadratize_cost_abs(env.cost, xmu, umu, weighting)
+    )
+
+    def kl_batch(log_alpha, cost_b, dyn_b, ctl_b, mu0s, sigma0s):
+        """Σ_t KL and divergence for all instances at per-instance duals."""
+        alpha = (10.0 ** log_alpha)[:, None] * jnp.ones((1, T), log_alpha.dtype)
+        if engine == "pallas":
+            lgc, _, _, _, div = pallas_gps_backward(
+                cost_b, dyn_b, ctl_b, alpha, time_chunk=time_chunk
+            )
+            kl, _, _ = pallas_gps_forward_kl(
+                dyn_b, lgc, ctl_b, mu0s, sigma0s, time_chunk=time_chunk
+            )
+            return kl, div
+
+        def one(c, d, o, a, m0, s0):
+            ag = augment_cost_kl(c, o, a)
+            lgc, _, _, div = gps_backward(ag, d, a)
+            xdist, _, _ = gaussian_forward(d, lgc, m0, s0)
+            return jnp.sum(policy_kl(lgc, o, xdist)), div
+
+        return jax.vmap(one)(cost_b, dyn_b, ctl_b, alpha, mu0s, sigma0s)
+
+    def bisect_dual(cost_b, dyn_b, ctl_b, mu0s, sigma0s, bound):
+        N = mu0s.shape[0]
+        dt = mu0s.dtype
+
+        def body(carry, _):
+            lo, hi = carry
+            mid = 0.5 * (lo + hi)
+            kl, div = kl_batch(mid, cost_b, dyn_b, ctl_b, mu0s, sigma0s)
+            too_small = div | (kl > bound)
+            return (jnp.where(too_small, mid, lo), jnp.where(too_small, hi, mid)), None
+
+        init = (jnp.full((N,), LOG_LO, dt), jnp.full((N,), LOG_HI, dt))
+        (lo, hi), _ = lax.scan(body, init, None, length=bisect_iters)
+        return 0.5 * (lo + hi)
+
+    def solution_at(log_alpha, cost_b, dyn_b, ctl_b, mu0s, sigma0s):
+        """Full controller/dists at the optimized duals (vmapped scan chain; runs
+        once per outer iteration — the bisection above is the hot path)."""
+        alpha = (10.0 ** log_alpha)[:, None] * jnp.ones((1, T), log_alpha.dtype)
+
+        def one(c, d, o, a, m0, s0):
+            ag = augment_cost_kl(c, o, a)
+            lgc, _, _, div = gps_backward(ag, d, a)
+            xdist, udist, _ = gaussian_forward(d, lgc, m0, s0)
+            kl = jnp.sum(policy_kl(lgc, o, xdist))
+            expected = evaluate_quadratic_cost(c, xdist.mu, udist.mu)
+            return lgc, kl, expected, div
+
+        return jax.vmap(one)(cost_b, dyn_b, ctl_b, alpha, mu0s, sigma0s)
+
+    def iteration(state: GPSState, _):
+        mu0s = state.xdist.mu[:, 0]
+        sigma0s = state.xdist.sigma[:, 0]
+        bound = (
+            kl_base * state.kl_mult if kl_adaptive
+            else jnp.full_like(state.last_return, kl_base)
+        )
+
+        log_alpha = bisect_dual(
+            state.cost, state.dyn, state.ctl, mu0s, sigma0s, bound
+        )
+        lgc, kl, expected_return, diverged = solution_at(
+            log_alpha, state.cost, state.dyn, state.ctl, mu0s, sigma0s
+        )
+        accept = (jnp.abs(kl - bound) < 0.25 * bound) & ~diverged
+
+        xdist_n, udist_n, lgd_n, ret = propagate_b(lgc, mu0s, sigma0s)
+        cost_n = quadratize_b(xdist_n.mu, udist_n.mu)
+
+        expected_imp = state.last_return - expected_return
+        actual_imp = state.last_return - ret
+        mult = expected_imp / (2.0 * jnp.maximum(1e-4, expected_imp - actual_imp))
+        kl_mult_n = jnp.clip(jnp.clip(mult, 0.1, 5.0) * state.kl_mult, 0.1, 5.0)
+
+        sel = lambda a, b: jax.tree.map(
+            lambda x, y: jnp.where(
+                accept.reshape((-1,) + (1,) * (x.ndim - 1)), x, y
+            ),
+            a, b,
+        )
+        new = GPSState(
+            ctl=sel(lgc, state.ctl),
+            xdist=sel(xdist_n, state.xdist),
+            dyn=sel(lgd_n, state.dyn),
+            cost=sel(cost_n, state.cost),
+            last_return=jnp.where(accept, ret, state.last_return),
+            kl_mult=(
+                jnp.where(accept, kl_mult_n, state.kl_mult)
+                if kl_adaptive else state.kl_mult
+            ),
+            alpha=10.0 ** log_alpha,
+        )
+        return new, new.last_return
+
+    def solve(keys: Array, mu0s: Array, sigma0s: Array):
+        N = mu0s.shape[0]
+        ctl0 = LinearGaussianPolicy(
+            K=jnp.zeros((N, T, du, dx), mu0s.dtype),
+            kff=1e-4 * jax.vmap(
+                lambda k: jax.random.normal(k, (T, du), mu0s.dtype)
+            )(keys),
+            sigma=jnp.tile(
+                init_action_sigma * jnp.eye(du, dtype=mu0s.dtype), (N, T, 1, 1)
+            ),
+        )
+        xdist0, udist0, lgd0, ret0 = propagate_b(ctl0, mu0s, sigma0s)
+        cost0 = quadratize_b(xdist0.mu, udist0.mu)
+
+        state = GPSState(
+            ctl=ctl0, xdist=xdist0, dyn=lgd0, cost=cost0,
+            last_return=ret0,
+            kl_mult=jnp.ones((N,), mu0s.dtype),
+            alpha=jnp.full((N,), 1e8, mu0s.dtype),
+        )
+        state, trace = lax.scan(iteration, state, None, length=nb_iter)
+        return state, jnp.concatenate([ret0[:, None], trace.T], axis=1)
+
+    return solve
+
+
 def make_gps_mpc_runner(
     env,
     horizon: int,
