@@ -62,3 +62,28 @@ def test_native_kernel_cross_validates_jax():
     assert fail == 0
     np.testing.assert_allclose(K_c, K_np, rtol=1e-12, atol=1e-12)
     np.testing.assert_allclose(kff_c, kff_np, rtol=1e-12, atol=1e-12)
+
+
+def test_chained_timing_and_roofline():
+    """The chained timer must measure real device work (a fetch-synced loop), and
+    the roofline accounting must be self-consistent."""
+    import jax
+    import jax.numpy as jnp
+
+    from trajopt_tpu.utils.profiling import backward_roofline, chained_seconds_per_call
+
+    M = jnp.ones((64, 64))
+
+    def fn(a):
+        return a @ a
+
+    def fold(args, out):
+        return (args[0] + 1e-30 * jnp.sum(out),)
+
+    dt = chained_seconds_per_call(fn, fold, (M,), reps=5)
+    assert dt > 0
+
+    r = backward_roofline(1e-3, batch=1024, T=1000, dx=4, du=2)
+    assert r["timesteps_per_s"] == 1024 * 1000 / 1e-3
+    assert 0 < r["hbm_fraction"] < 10
+    assert 0 < r["vpu_fraction"] < 10

@@ -1,1 +1,1 @@
-from . import psd  # noqa: F401
+from . import profiling, psd  # noqa: F401
