@@ -87,3 +87,16 @@ def test_chained_timing_and_roofline():
     assert r["timesteps_per_s"] == 1024 * 1000 / 1e-3
     assert 0 < r["hbm_fraction"] < 10
     assert 0 < r["vpu_fraction"] < 10
+
+
+def test_make_mesh_shapes():
+    import jax
+
+    from trajopt_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    assert mesh.axis_names == ("dp",)
+    assert mesh.devices.size == len(jax.devices())
+
+    mesh2 = make_mesh(("dp", "time"), (4, 2))
+    assert mesh2.shape == {"dp": 4, "time": 2}
