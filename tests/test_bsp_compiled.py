@@ -1,0 +1,56 @@
+"""Tests for the fully-compiled BSP-iLQR solver and belief-MPC (parallel/bsp.py)
+against the host-loop solver (solvers/bspilqr.BSPiLQR, itself oracle-tested in
+test_bspilqr.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import trajopt_tpu
+from trajopt_tpu.parallel.bsp import (
+    make_bsp_mpc_runner,
+    make_bsp_solver,
+    run_bsp_mpc_batch,
+)
+from trajopt_tpu.solvers import BSPiLQR
+
+
+def test_compiled_matches_host_on_lightdark():
+    env = trajopt_tpu.make("LightDark-TO-v0")
+    mu0, sigma0 = env.init()
+
+    solve = jax.jit(make_bsp_solver(env, nb_steps=10, nb_iter=25))
+    state, trace = solve(jnp.asarray(mu0), jnp.asarray(sigma0))
+
+    host = BSPiLQR(env, nb_steps=10, init_belief=env.init())
+    host_trace = host.run(nb_iter=25)
+
+    np.testing.assert_allclose(
+        float(trace[-1]), host_trace[-1], rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(state.uref), np.asarray(host.uref), rtol=1e-4, atol=1e-6
+    )
+
+
+def test_compiled_belief_mpc_collapses_uncertainty():
+    """Light-dark homing: the MPC must steer toward the light (shrinking EKF
+    x-variance from 5.0 to ~0) and drive the belief mean to the goal — the
+    behavioral signature of examples/bspilqr/lightdark.py."""
+    env = trajopt_tpu.make("LightDark-TO-v0")
+    run = jax.jit(make_bsp_mpc_runner(env, horizon=10, nb_steps=15, nb_iter=15))
+    xs, mus, sigmas, us, cs = run(jax.random.PRNGKey(0), env.reset_state())
+
+    assert np.all(np.isfinite(np.asarray(xs)))
+    assert float(sigmas[-1, 0, 0]) < 1e-2 * float(sigmas[0, 0, 0])
+    assert np.linalg.norm(np.asarray(mus[-1])) < 0.2  # belief at the goal
+
+
+def test_bsp_mpc_batch():
+    env = trajopt_tpu.make("LightDark-TO-v0")
+    data = run_bsp_mpc_batch(
+        env, jax.random.PRNGKey(1), nb_episodes=3, horizon=8, nb_steps=6, nb_iter=8
+    )
+    assert data["x"].shape == (3, 7, 2)
+    assert data["sigma"].shape == (3, 7, 2, 2)
+    assert np.all(np.isfinite(np.asarray(data["mu"])))

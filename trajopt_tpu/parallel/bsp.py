@@ -1,0 +1,276 @@
+"""Fully-compiled belief-space iLQR and belief-MPC.
+
+The host solver (solvers/bspilqr.BSPiLQR) preserves the reference's per-iteration
+host↔device structure (bspilqr/bspilqr.py:126-224); the reference's light-dark MPC
+driver additionally re-instantiates that solver at every control step
+(examples/bspilqr/lightdark.py:34-45).  Here the entire solve — belief-dynamics
+Jacobians, λ-escalated backward pass over the (S, s, τ) belief value, vmapped α-grid
+belief rollouts, accept/reject — is one jitted program (:func:`make_bsp_solver`),
+and the full EKF-in-the-loop MPC episode is one ``lax.scan``
+(:func:`make_bsp_mpc_runner`), vmappable over episode batches
+(:func:`run_bsp_mpc_batch`).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array, lax
+
+from ..core.belief import (
+    belief_cost_expansion,
+    belief_dynamics_expansion,
+    bsp_backward,
+)
+from ..core.ekf import EKF, belief_ekf_step
+from ..core.types import LinearPolicy
+from ..solvers.common import DEFAULT_ALPHAS
+
+
+class BSPState(NamedTuple):
+    bref_mu: Array     # (T+1, b)
+    bref_sigma: Array  # (T+1, b, b)
+    uref: Array        # (T, du)
+    K: Array           # (T, du, b)
+    kff: Array         # (T, du)
+    lmbda: Array       # ()
+    dlmbda: Array      # ()
+    last_return: Array # ()
+    done: Array        # () bool
+
+
+def make_bsp_solver(
+    env,
+    nb_steps: int,
+    nb_iter: int = 25,
+    alphas=DEFAULT_ALPHAS,
+    lmbda: float = 1.0,
+    min_lmbda: float = 1e-6,
+    max_lmbda: float = 1e6,
+    mult_lmbda: float = 1.6,
+    tolfun: float = 1e-8,
+    tolgrad: float = 1e-6,
+    min_imp: float = 0.0,
+    reg: int = 1,
+):
+    """Build ``solve(mu0, sigma0, kff_init) -> (state, trace)`` — the BSP-iLQR
+    outer loop (bspilqr/bspilqr.py:126-224) as pure ``lax`` control flow, with the
+    same λ/α/termination semantics as the host class."""
+    alphas = jnp.asarray(alphas)
+    T = nb_steps
+    db, du = env.belief_dim, env.act_dim
+
+    def expand(bref_mu, bref_sigma, uref):
+        dyn = belief_dynamics_expansion(env, bref_mu[:T], bref_sigma[:T], uref)
+        cost = belief_cost_expansion(env, bref_mu, bref_sigma, uref)
+        return cost, dyn
+
+    def forward_all(K, kff, mu0, sigma0, bref_mu, uref):
+        def one(alpha):
+            def step(carry, inp):
+                mu, sigma = carry
+                K_t, kff_t, mu_ref, u_ref = inp
+                u = u_ref + alpha * kff_t + K_t @ (mu - mu_ref)
+                c = env.cost(mu, sigma, u)
+                f, _, phi = belief_ekf_step(env, mu, sigma, u)
+                return (f, phi), (mu, sigma, u, c)
+
+            inputs = (K, kff, bref_mu[:T], uref)
+            (mu_T, sig_T), (mus, sigmas, us, cs) = lax.scan(
+                step, (mu0, sigma0), inputs
+            )
+            c_T = env.cost(mu_T, sig_T, jnp.zeros(du, mu_T.dtype))
+            return (
+                jnp.concatenate([mus, mu_T[None]], axis=0),
+                jnp.concatenate([sigmas, sig_T[None]], axis=0),
+                us,
+                jnp.concatenate([cs, c_T[None]], axis=0),
+            )
+
+        return jax.vmap(one)(alphas)
+
+    def backward_with_lm(cost, dyn, lmbda0, dlmbda0):
+        def cond(carry):
+            _, lmbda, _, diverged, first = carry
+            return (first | diverged) & (lmbda <= max_lmbda)
+
+        def body(carry):
+            _, lmbda, dlmbda, _, _ = carry
+            out = bsp_backward(cost, dyn, lmbda, reg)
+            new_div = out[5]
+            dlmbda_n = jnp.where(
+                new_div, jnp.maximum(dlmbda * mult_lmbda, mult_lmbda), dlmbda
+            )
+            lmbda_n = jnp.where(
+                new_div, jnp.maximum(lmbda * dlmbda_n, min_lmbda), lmbda
+            )
+            return out, lmbda_n, dlmbda_n, new_div, jnp.asarray(False)
+
+        dummy = bsp_backward(cost, dyn, lmbda0, reg)
+        init = (dummy, lmbda0, dlmbda0, jnp.asarray(False), jnp.asarray(True))
+        out, lmbda, dlmbda, diverged, _ = lax.while_loop(cond, body, init)
+        return out, lmbda, dlmbda, diverged
+
+    def iteration(state: BSPState, _):
+        def work(state: BSPState):
+            cost, dyn = expand(state.bref_mu, state.bref_sigma, state.uref)
+            (lc, S, s, tau, dS, _), lmbda, dlmbda, diverged = backward_with_lm(
+                cost, dyn, state.lmbda, state.dlmbda
+            )
+            backpass_done = ~diverged
+
+            g_norm = jnp.mean(
+                jnp.max(jnp.abs(lc.kff) / (jnp.abs(state.uref) + 1.0), axis=0)
+            )
+            grad_done = (g_norm < tolgrad) & (lmbda < 1e-5)
+
+            mus_all, sigmas_all, us_all, costs_all = forward_all(
+                lc.K, lc.kff, state.bref_mu[0], state.bref_sigma[0],
+                state.bref_mu, state.uref,
+            )
+            returns = jnp.sum(costs_all, axis=1)
+            dreturns = state.last_return - returns
+            expected = -1.0 * alphas * (dS[0] + alphas * dS[1])
+            imp = dreturns / expected
+            ok = (imp > min_imp) & backpass_done & jnp.isfinite(returns)
+            accepted = jnp.any(ok)
+            idx = jnp.argmax(ok)
+
+            dlmbda_acc = jnp.minimum(dlmbda / mult_lmbda, 1.0 / mult_lmbda)
+            lmbda_acc = lmbda * dlmbda_acc * (lmbda > min_lmbda)
+            dlmbda_rej = jnp.maximum(dlmbda * mult_lmbda, mult_lmbda)
+            lmbda_rej = jnp.maximum(lmbda * dlmbda_rej, min_lmbda)
+
+            take = accepted & ~grad_done
+            sel = lambda a, b: jnp.where(take, a, b)
+            bref_mu = jnp.where(take, mus_all[idx], state.bref_mu)
+            bref_sigma = jnp.where(take, sigmas_all[idx], state.bref_sigma)
+            uref = jnp.where(take, us_all[idx], state.uref)
+            K = jnp.where(take, lc.K, state.K)
+            kff = jnp.where(take, lc.kff, state.kff)
+            last_return = sel(returns[idx], state.last_return)
+
+            done = (
+                grad_done
+                | (take & (dreturns[idx] < tolfun))
+                | (~accepted & (lmbda_rej > max_lmbda))
+            )
+            return BSPState(
+                bref_mu=bref_mu, bref_sigma=bref_sigma, uref=uref, K=K, kff=kff,
+                lmbda=sel(lmbda_acc, lmbda_rej), dlmbda=sel(dlmbda_acc, dlmbda_rej),
+                last_return=last_return, done=done,
+            )
+
+        state = lax.cond(state.done, lambda st: st, work, state)
+        return state, state.last_return
+
+    def solve(mu0: Array, sigma0: Array, kff_init: Array | None = None):
+        kff0 = jnp.zeros((T, du), mu0.dtype) if kff_init is None else kff_init
+        K0 = jnp.zeros((T, du, db), mu0.dtype)
+        bref_mu0 = jnp.zeros((T + 1, db), mu0.dtype).at[0].set(mu0)
+
+        mus_all, sigmas_all, us_all, costs_all = forward_all(
+            K0, kff0, mu0, sigma0, bref_mu0, jnp.zeros((T, du), mu0.dtype)
+        )
+        finite = jnp.all(mus_all < 1e8, axis=(1, 2))
+        idx = jnp.argmax(finite)
+
+        state = BSPState(
+            bref_mu=mus_all[idx],
+            bref_sigma=sigmas_all[idx],
+            uref=us_all[idx],
+            K=K0, kff=kff0,
+            lmbda=jnp.asarray(lmbda, mu0.dtype),
+            dlmbda=jnp.asarray(1.0, mu0.dtype),
+            last_return=jnp.sum(costs_all[idx]),
+            done=jnp.asarray(False),
+        )
+        state, trace = lax.scan(iteration, state, None, length=nb_iter)
+        return state, trace
+
+    return solve
+
+
+def make_bsp_mpc_runner(
+    env,
+    horizon: int,
+    nb_steps: int,
+    nb_iter: int = 25,
+    **bsp_kwargs,
+):
+    """EKF-in-the-loop belief-MPC as one compiled program — the device-native
+    replacement for the reference's light-dark driver
+    (examples/bspilqr/lightdark.py:24-45): innovate on a first observation, then at
+    every control step replan with BSP-iLQR from the current belief, apply the
+    first action on the true noisy system, and fold the new observation in with an
+    EKF update.
+
+    ``run(key, x0) -> (xs, belief_mus, belief_sigmas, us, costs)``.
+    """
+    solve = make_bsp_solver(env, horizon, nb_iter=nb_iter, **bsp_kwargs)
+    filt = EKF(env)
+    du = env.act_dim
+
+    def run(key: Array, x0: Array):
+        mu0, sigma0 = env.init()
+        key, k = jax.random.split(key)
+        obs0 = jax.random.multivariate_normal(
+            k, env.observe(x0), env.obs_noise(x0)
+        ).astype(x0.dtype)
+        mu_b, sigma_b = filt.innovate(
+            jnp.asarray(mu0, x0.dtype), jnp.asarray(sigma0, x0.dtype), obs0
+        )
+
+        keys = jax.random.split(key, nb_steps)
+
+        def step(carry, k):
+            x, mu_b, sigma_b = carry
+            state, _ = solve(mu_b, sigma_b)
+            u = state.uref[0]
+            c = env.cost(mu_b, sigma_b, u)
+            xn, obs = env.step(k, x, u)
+            mu_n, sigma_n = filt.inference(mu_b, sigma_b, u, obs)
+            return (xn, mu_n, sigma_n), (x, mu_b, sigma_b, u, c)
+
+        (x_T, mu_T, sig_T), (xs, mus, sigmas, us, cs) = lax.scan(
+            step, (x0, mu_b, sigma_b), keys
+        )
+        return (
+            jnp.concatenate([xs, x_T[None]], axis=0),
+            jnp.concatenate([mus, mu_T[None]], axis=0),
+            jnp.concatenate([sigmas, sig_T[None]], axis=0),
+            us, cs,
+        )
+
+    return run
+
+
+def run_bsp_mpc_batch(
+    env,
+    key: Array,
+    nb_episodes: int,
+    horizon: int,
+    nb_steps: int,
+    nb_iter: int = 25,
+    mesh=None,
+    axis_name: str = "dp",
+    **bsp_kwargs,
+):
+    """Batch of belief-MPC episodes, vmapped and (optionally) mesh-sharded."""
+    run = make_bsp_mpc_runner(env, horizon, nb_steps, nb_iter=nb_iter, **bsp_kwargs)
+
+    keys = jax.random.split(key, nb_episodes)
+    x0 = env.reset_state()
+    x0s = jnp.tile(x0, (nb_episodes, 1))
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sharding = NamedSharding(mesh, P(axis_name))
+        keys = jax.device_put(keys, sharding)
+        x0s = jax.device_put(x0s, sharding)
+
+    xs, mus, sigmas, us, cs = jax.jit(jax.vmap(run))(keys, x0s)
+    return {"x": xs, "mu": mus, "sigma": sigmas, "u": us, "c": cs}
