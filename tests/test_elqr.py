@@ -149,3 +149,33 @@ def test_elqr_pendulum_improves():
     trace = alg.run(nb_iter=10)
     assert np.isfinite(trace[-1])
     assert trace[-1] < 0.75 * trace[0]
+
+
+def test_compiled_elqr_matches_host():
+    """The one-program compiled eLQR (parallel/elqr.py) must reproduce the
+    host-loop class exactly (same sweeps, same controller init)."""
+    import jax
+    import jax.numpy as jnp
+
+    import trajopt_tpu
+    from trajopt_tpu.parallel.elqr import make_elqr_solver
+    from trajopt_tpu.solvers.elqr import eLQR
+
+    env = trajopt_tpu.make("Pendulum-TO-v0", dt=0.01).replace(uw=(1e-3,))
+    x0 = jnp.asarray(env.x0)
+
+    host = eLQR(env, nb_steps=40, init_state=x0, key=jax.random.PRNGKey(0))
+    host_trace = host.run(nb_iter=8)
+
+    solve = jax.jit(make_elqr_solver(env, nb_steps=40, nb_iter=8))
+    ctl, xs, us, trace = solve(jax.random.PRNGKey(0), x0)
+
+    np.testing.assert_allclose(np.asarray(trace), np.asarray(host_trace), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(us), np.asarray(host.uref), rtol=1e-6,
+                               atol=1e-9)
+
+    # vmappable over seeds — the batched-eLQR capability the reference lacks
+    keys = jax.random.split(jax.random.PRNGKey(1), 3)
+    _, _, _, traces = jax.jit(jax.vmap(lambda k: solve(k, x0)))(keys)
+    assert traces.shape == (3, 9)
+    assert np.all(np.isfinite(np.asarray(traces)))

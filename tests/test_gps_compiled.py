@@ -106,3 +106,29 @@ def test_batched_solver_matches_vmapped_single():
     np.testing.assert_allclose(
         np.asarray(traces), np.asarray(ref_traces), rtol=1e-9, atol=1e-9
     )
+
+
+def test_compiled_mfgps_learns_and_improves():
+    """Compiled model-free GPS on LQR-v1: every accepted iteration improves the
+    sampled mean return, and the MNIW-regressed dynamics recover the analytic
+    linearization (the same checks test_gps.py applies to the host MFGPS)."""
+    from trajopt_tpu.core.diff import linearize_dynamics
+    from trajopt_tpu.parallel.gps import make_mfgps_solver
+
+    env = trajopt_tpu.make("LQR-TO-v1")
+    mu0, sigma0 = env.init()
+    solve = jax.jit(
+        make_mfgps_solver(env, nb_steps=40, nb_iter=8, nb_episodes=20,
+                          kl_bound=100.0)
+    )
+    (ctl, dyn, last), trace = solve(
+        jax.random.PRNGKey(0), jnp.asarray(mu0), jnp.asarray(sigma0)
+    )
+    tr = np.asarray(trace)
+    assert np.all(np.isfinite(tr))
+    assert tr[-1] < 0.6 * tr[0]
+    assert np.all(np.diff(tr) <= 1e-6)
+
+    lin = linearize_dynamics(env.dynamics, jnp.zeros((40, 2)), jnp.zeros((40, 1)))
+    np.testing.assert_allclose(np.asarray(dyn.A), np.asarray(lin.A), atol=5e-2)
+    np.testing.assert_allclose(np.asarray(dyn.B), np.asarray(lin.B), atol=5e-2)

@@ -1,1 +1,1 @@
-from . import bsp, gps, mesh, mpc, regression  # noqa: F401
+from . import bsp, elqr, gps, mesh, mpc, regression  # noqa: F401

@@ -192,6 +192,117 @@ def make_mbgps_solver(
     return solve
 
 
+def make_mfgps_solver(
+    env,
+    nb_steps: int,
+    nb_iter: int = 10,
+    nb_episodes: int = 50,
+    init_action_sigma: float = 1.0,
+    kl_bound: float = 0.1,
+    activation: dict | None = None,
+    slew_rate: bool = False,
+    action_penalty=None,
+    prior: dict | None = None,
+    bisect_iters: int = 64,
+):
+    """Fully-compiled model-free GPS: ``solve(key, mu0, sigma0) -> (state, trace)``.
+
+    The host MFGPS (solvers/gps.MFGPS, mirroring gps/mfgps.py) samples real
+    rollouts, fits per-timestep linear-Gaussian dynamics by MatrixNormal-inverse-
+    Wishart regression, and optimizes the KL dual with scipy SLSQP.  Here the whole
+    loop — vmapped stochastic rollouts, vmapped conjugate regression, log-α dual
+    bisection, KL acceptance — is one ``lax.scan`` program.  The rollout PRNG key
+    is consumed only on accepted iterations, matching the host's key sequence, so
+    the two implementations follow the same sample path when they make the same
+    accept decisions.
+    """
+    from ..solvers.common import rollout_batch
+    from .regression import mniw_map_regression
+
+    overrides = {"slew_rate": slew_rate}
+    if action_penalty is not None:
+        overrides["uw"] = tuple(float(action_penalty) for _ in range(env.dm_act))
+    env = env.replace(**overrides)
+
+    T = nb_steps
+    dx, du = env.dm_state, env.dm_act
+    weighting = make_weighting(nb_steps, activation)
+    prior = {"K": 1e-6, "psi": 1e-8, "nu": 0.1} if prior is None else prior
+    LOG_LO, LOG_HI = -16.0, 16.0
+
+    def sample_and_fit(key, ctl):
+        data = rollout_batch(env, ctl, key, weighting, nb_episodes)
+        dyn = mniw_map_regression(data["x"], data["u"], data["xn"], prior)
+        xmu = jnp.concatenate(
+            [jnp.mean(data["x"], axis=0), jnp.mean(data["xn"][:, -1:], axis=0)]
+        )
+        umu = jnp.mean(data["u"], axis=0)
+        cost = quadratize_cost_abs(env.cost, xmu, umu, weighting)
+        ret = jnp.mean(jnp.sum(data["c"], axis=1))
+        return dyn, cost, ret
+
+    def kl_at(log_alpha, cost, dyn, ctl, mu0, sigma0):
+        alpha = jnp.full(T, 10.0 ** log_alpha, mu0.dtype)
+        agcost = augment_cost_kl(cost, ctl, alpha)
+        lgc, _, _, diverged = gps_backward(agcost, dyn, alpha)
+        xdist, udist, _ = gaussian_forward(dyn, lgc, mu0, sigma0)
+        kl = jnp.sum(policy_kl(lgc, ctl, xdist))
+        return kl, diverged, lgc
+
+    def bisect_dual(cost, dyn, ctl, mu0, sigma0, bound):
+        def body(carry, _):
+            lo, hi = carry
+            mid = 0.5 * (lo + hi)
+            kl, diverged, _ = kl_at(mid, cost, dyn, ctl, mu0, sigma0)
+            too_small = diverged | (kl > bound)
+            return (jnp.where(too_small, mid, lo), jnp.where(too_small, hi, mid)), None
+
+        (lo, hi), _ = lax.scan(
+            body, (jnp.asarray(LOG_LO, mu0.dtype), jnp.asarray(LOG_HI, mu0.dtype)),
+            None, length=bisect_iters,
+        )
+        return 0.5 * (lo + hi)
+
+    def solve(key: Array, mu0: Array, sigma0: Array):
+        k_ctl, key = jax.random.split(key)
+        ctl0 = LinearGaussianPolicy(
+            K=jnp.zeros((T, du, dx), mu0.dtype),
+            kff=1e-4 * jax.random.normal(k_ctl, (T, du), mu0.dtype),
+            sigma=jnp.tile(
+                init_action_sigma * jnp.eye(du, dtype=mu0.dtype), (T, 1, 1)
+            ),
+        )
+        k_roll, key = jax.random.split(key)
+        dyn0, cost0, ret0 = sample_and_fit(k_roll, ctl0)
+        bound = jnp.asarray(kl_bound, mu0.dtype)
+
+        def iteration(carry, _):
+            ctl, dyn, cost, last_return, key = carry
+            log_alpha = bisect_dual(cost, dyn, ctl, mu0, sigma0, bound)
+            kl, diverged, lgc = kl_at(log_alpha, cost, dyn, ctl, mu0, sigma0)
+            accept = (jnp.abs(kl - bound) < 0.25 * bound) & ~diverged
+
+            k_roll, key_n = jax.random.split(key)
+            dyn_n, cost_n, ret = sample_and_fit(k_roll, lgc)
+
+            sel = lambda a, b: jax.tree.map(lambda x, y: jnp.where(accept, x, y), a, b)
+            carry = (
+                sel(lgc, ctl),
+                sel(dyn_n, dyn),
+                sel(cost_n, cost),
+                jnp.where(accept, ret, last_return),
+                jax.tree.map(lambda n, o: jnp.where(accept, n, o), key_n, key),
+            )
+            return carry, carry[3]
+
+        (ctl, dyn, cost, last_return, _), trace = lax.scan(
+            iteration, (ctl0, dyn0, cost0, ret0, key), None, length=nb_iter
+        )
+        return (ctl, dyn, last_return), jnp.concatenate([ret0[None], trace])
+
+    return solve
+
+
 def make_mbgps_solver_batched(
     env,
     nb_steps: int,
