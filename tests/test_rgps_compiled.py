@@ -1,0 +1,72 @@
+"""Tests for the fully-compiled robust GPS (parallel/rgps.py) against the host
+solvers (solvers/rgps.py, themselves oracle-tested in test_rgps.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import trajopt_tpu
+from trajopt_tpu.parallel.rgps import make_rgps_solver
+from trajopt_tpu.solvers.rgps import LRGPS
+
+KW = dict(
+    nb_steps=20, init_action_sigma=10.0, policy_kl_bound=0.25,
+    param_nominal_kl_bound=50.0, nominal_variance=1e-8,
+)
+
+
+def test_compiled_lrgps_matches_host():
+    """Same geometric β-bisection, same fixed point, same acceptance — the
+    compiled solver must land on the host's β* and trace exactly."""
+    env = trajopt_tpu.make("LQR-TO-v1")
+    mu0, sigma0 = env.init()
+
+    solve = jax.jit(make_rgps_solver(env, variant="lr", nb_iter=5, **KW))
+    state, trace = solve(jnp.asarray(mu0), jnp.asarray(sigma0))
+
+    host = LRGPS(
+        env, init_state=env.init(), param_regularizer_kl_bound=10.0, **KW
+    )
+    host_trace = host.run(nb_iter=5)
+
+    # β-bisections agree exactly; the policy dual differs only by its optimizer
+    # (log-α bisection vs the host's L-BFGS-B), hence the ~1e-7 trace tolerance
+    np.testing.assert_allclose(np.asarray(trace), np.asarray(host_trace), rtol=1e-5)
+    np.testing.assert_allclose(float(state.beta), host.beta, rtol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(state.ctl.K), np.asarray(host.ctl.K), rtol=1e-3, atol=1e-6
+    )
+
+
+def test_adversary_ablation():
+    """Robust-vs-standard (the reference's own regression harness,
+    examples/rgps/mb_lqr.py:53-111): the adversary must change the controller,
+    and disabling it must recover the faster nominal descent."""
+    env = trajopt_tpu.make("LQR-TO-v1")
+    mu0, sigma0 = env.init()
+    m = (jnp.asarray(mu0), jnp.asarray(sigma0))
+
+    s_on, tr_on = jax.jit(make_rgps_solver(env, variant="lr", nb_iter=5, **KW))(*m)
+    s_off, tr_off = jax.jit(
+        make_rgps_solver(env, variant="lr", nb_iter=5, optimize_adversary=False, **KW)
+    )(*m)
+
+    assert float(jnp.max(jnp.abs(s_on.ctl.K - s_off.ctl.K))) > 1e-2
+    # nominal optimization descends at least as fast on the nominal objective
+    assert float(tr_off[-1]) <= float(tr_on[-1])
+    assert np.all(np.diff(np.asarray(tr_on)) <= 1e-6)
+
+
+@pytest.mark.slow
+def test_compiled_mbrgps_runs_on_pendulum():
+    env = trajopt_tpu.make("Pendulum-TO-v0", dt=0.05, sigma_scale=1e-4)
+    mu0, sigma0 = env.init()
+    solve = jax.jit(make_rgps_solver(
+        env, nb_steps=20, variant="mb", nb_iter=3, init_action_sigma=1.0,
+        policy_kl_bound=1.0, param_nominal_kl_bound=10.0, nominal_variance=1e-8,
+    ))
+    state, trace = solve(jnp.asarray(mu0), jnp.asarray(sigma0))
+    tr = np.asarray(trace)
+    assert np.all(np.isfinite(tr))
+    assert np.all(np.diff(tr) <= 1e-6)

@@ -1,0 +1,331 @@
+"""Fully-compiled distributionally-robust GPS (LRGPS / MBRGPS variants).
+
+The host solvers (solvers/rgps.py) keep the reference's host-driven duals: a
+Python geometric bisection on the adversary dual β (mbrgps.py:419-451) and scipy
+L-BFGS-B on the policy dual α (mbrgps.py:688-692), each driving jitted device
+chains.  Both duals are 1-D with monotone constraint functions, so the whole
+min-max alternation compiles:
+
+* **adversary** — the reference's own geometric β-bisection becomes a fixed-length
+  ``lax.scan`` with masked best/termination tracking (diverged or non-finite dual
+  evaluations mean "β too small", exactly the reference's NaN branch,
+  mbrgps.py:440-449); each evaluation runs the adversary fixed point (parameter
+  backward pass ∘ cubature forward pass with KL-geodesic damping) as the same
+  ``lax.while_loop`` the host uses.
+* **policy** — the L-BFGS-B dual reduces to root-finding Σ_t KL(π‖π_old) =
+  policy_kl_bound, a log-α bisection as in parallel/gps.py.
+* the outer alternation (adversary → policy → KL acceptance → refresh) is one
+  ``lax.scan``: a full robust-GPS solve per XLA program, vmappable over seeds /
+  initial states — the robust analogue of the compiled GPS farms.
+
+Only ``policy_kl_stepwise=False`` and the non-iterative adversary are compiled
+(the reference's defaults); use the host classes for the stepwise / regularized
+variants.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array, lax
+
+from ..core.cubature import (
+    cubature_forward_pass,
+    parameter_augment_cost,
+    parameter_backward_pass,
+    policy_backward_pass,
+)
+from ..core.diff import evaluate_quadratic_cost, quadratize_cost_abs
+from ..core.ekf import extended_kalman
+from ..core.scan_lqr import (
+    augment_cost_kl,
+    gaussian_interp_kl,
+    gaussian_kl,
+    policy_kl,
+)
+from ..core.types import (
+    GaussianSequence,
+    LinearGaussianPolicy,
+    MatrixNormalParams,
+    vec_from_matrices,
+)
+from ..solvers.common import make_weighting
+
+
+class RGPSState(NamedTuple):
+    ctl: LinearGaussianPolicy
+    xdist: GaussianSequence
+    udist: GaussianSequence
+    cost: object                # QuadraticCost
+    nominal: MatrixNormalParams
+    last_return: Array
+    beta: Array                 # last adversary dual
+    alpha: Array                # last policy dual
+
+
+def make_rgps_solver(
+    env,
+    nb_steps: int,
+    variant: str = "lr",
+    nb_iter: int = 10,
+    init_action_sigma: float = 1.0,
+    policy_kl_bound: float = 0.1,
+    param_nominal_kl_bound: float = 100.0,
+    nominal_variance: float = 1e-8,
+    activation: dict | None = None,
+    slew_rate: bool = False,
+    action_penalty=None,
+    optimize_adversary: bool = True,
+    beta_iters: int = 50,
+    alpha_bisect_iters: int = 64,
+    fp_iters: int = 100,
+):
+    """Build ``solve(mu0, sigma0) -> (state, trace)`` — compiled robust GPS.
+
+    ``variant='lr'`` fixes the nominal at the env's analytic linearization
+    (rgps/lrgps.py:100-112) and scores iterates by the exact quadratic expectation;
+    ``variant='mb'`` relinearizes the nominal along the EKF mean trajectory each
+    accepted iteration (rgps/mbrgps.py:747-754) and scores by the propagated mean
+    cost.
+    """
+    if variant not in ("lr", "mb"):
+        raise ValueError(f"unknown variant {variant!r}")
+
+    overrides = {"slew_rate": slew_rate}
+    if action_penalty is not None:
+        overrides["uw"] = tuple(float(action_penalty) for _ in range(env.dm_act))
+    env = env.replace(**overrides)
+
+    T = nb_steps
+    dx, du = env.dm_state, env.dm_act
+    p = dx * (dx + du + 1)
+    weighting = make_weighting(nb_steps, activation)
+    noise = jnp.tile(jnp.asarray(env.sigma), (T, 1, 1))
+    LOG_LO, LOG_HI = -16.0, 16.0
+
+    def quadratize(xmu, umu):
+        return quadratize_cost_abs(env.cost, xmu, umu, weighting)
+
+    def cubature(ctl, param, mu0, sigma0):
+        return cubature_forward_pass(mu0, sigma0, param, noise, ctl)
+
+    # ------------------------------------------------------------- adversary side
+    def fixed_point(agCpp, agcp, ctl, cost, xdist0, beta, mu0, sigma0):
+        """The host's _param_fixed_point_impl (mbrgps.py:386-408) verbatim."""
+        dummy = MatrixNormalParams(
+            mu=jnp.zeros((T, p), mu0.dtype),
+            sigma=jnp.tile(jnp.eye(p, dtype=mu0.dtype), (T, 1, 1)),
+        )
+
+        def cond(state):
+            q, param, value, kl, diverged, it = state
+            return (jnp.any(kl > 1e-3)) & (~diverged) & (it < fp_iters)
+
+        def body(state):
+            q, _, _, _, _, it = state
+            param, value, diverged = parameter_backward_pass(
+                q, ctl, noise, cost, agCpp, agcp, beta
+            )
+            p_xdist, _, _ = cubature(ctl, param, mu0, sigma0)
+            kl = gaussian_kl(p_xdist, q)
+            q_new = gaussian_interp_kl(q, p_xdist, 1e-1)
+            return (q_new, param, value, kl, diverged, it + 1)
+
+        init = (
+            xdist0,
+            dummy,
+            parameter_backward_pass(xdist0, ctl, noise, cost, agCpp, agcp, beta)[1],
+            jnp.full(T + 1, jnp.inf, mu0.dtype),
+            jnp.asarray(False),
+            jnp.asarray(0),
+        )
+        q, param, value, kl, diverged, _ = lax.while_loop(cond, body, init)
+        return q, param, diverged
+
+    def nominal_kl(param, nominal):
+        return jnp.sum(
+            gaussian_kl(
+                GaussianSequence(mu=param.mu, sigma=param.sigma),
+                GaussianSequence(mu=nominal.mu, sigma=nominal.sigma),
+            )
+        )
+
+    def adversary(ctl, cost, xdist, nominal, mu0, sigma0):
+        """Geometric β-bisection (mbrgps.py:419-451) as a fixed-length scan."""
+        bound = param_nominal_kl_bound
+
+        def grad_at(beta):
+            """Host-convention dual gradient hg = bound − nom_kl (the host's
+            _parameter_dual returns the NEGATED gradient, solvers/rgps.py)."""
+            agCpp, agcp, _ = parameter_augment_cost(nominal, beta)
+            _, param, diverged = fixed_point(
+                agCpp, agcp, ctl, cost, xdist, beta, mu0, sigma0
+            )
+            hg = bound - nominal_kl(param, nominal)
+            bad = diverged | ~jnp.isfinite(hg)
+            return hg, bad
+
+        def body(carry, _):
+            beta, min_b, max_b, chosen, best_b, best_g, done = carry
+            hg, bad = grad_at(beta)
+            upd = ~done
+            better = upd & ~bad & (hg < best_g)
+            best_b = jnp.where(better, beta, best_b)
+            best_g = jnp.where(better, hg, best_g)
+            hit = upd & ~bad & (jnp.abs(hg) < 0.1 * bound)
+            chosen = jnp.where(hit, beta, chosen)
+            done = done | hit
+            # hg > 0 ⇔ nom_kl < bound ⇔ β too large (mbrgps.py:443-446);
+            # a diverged/NaN evaluation means β too small (mbrgps.py:447-449)
+            max_b = jnp.where(upd & ~bad & (hg > 0) & ~hit, beta, max_b)
+            min_b = jnp.where(upd & (bad | (~bad & (hg <= 0) & ~hit)), beta, min_b)
+            beta_n = jnp.where(done, beta, jnp.sqrt(min_b * max_b))
+            return (beta_n, min_b, max_b, chosen, best_b, best_g, done), None
+
+        dt = mu0.dtype
+        init = (
+            jnp.asarray(1e16, dt), jnp.asarray(1e-4, dt), jnp.asarray(1e64, dt),
+            jnp.asarray(1e16, dt), jnp.asarray(1e16, dt), jnp.asarray(jnp.inf, dt),
+            jnp.asarray(False),
+        )
+        (beta, _, _, chosen, best_b, _, done), _ = lax.scan(
+            body, init, None, length=beta_iters
+        )
+        beta_star = jnp.where(done, chosen, best_b)
+
+        agCpp, agcp, _ = parameter_augment_cost(nominal, beta_star)
+        _, param, _ = fixed_point(
+            agCpp, agcp, ctl, cost, xdist, beta_star, mu0, sigma0
+        )
+        return param, beta_star
+
+    # ---------------------------------------------------------------- policy side
+    def policy_kl_at(log_alpha, cost, ctl, param, mu0, sigma0):
+        alpha = jnp.full(T, 10.0 ** log_alpha, mu0.dtype)
+        agcost = augment_cost_kl(cost, ctl, alpha)
+        lgc, xvalue, xuvalue, diverged = policy_backward_pass(
+            agcost, param, noise, alpha
+        )
+        xdist, _, _ = cubature(lgc, param, mu0, sigma0)
+        kl = jnp.sum(policy_kl(lgc, ctl, xdist))
+        return kl, diverged, lgc
+
+    def policy(ctl, cost, param, mu0, sigma0):
+        bound = policy_kl_bound
+
+        def body(carry, _):
+            lo, hi = carry
+            mid = 0.5 * (lo + hi)
+            kl, diverged, _ = policy_kl_at(mid, cost, ctl, param, mu0, sigma0)
+            too_small = diverged | (kl > bound)
+            return (jnp.where(too_small, mid, lo), jnp.where(too_small, hi, mid)), None
+
+        dt = mu0.dtype
+        (lo, hi), _ = lax.scan(
+            body, (jnp.asarray(LOG_LO, dt), jnp.asarray(LOG_HI, dt)),
+            None, length=alpha_bisect_iters,
+        )
+        log_alpha = 0.5 * (lo + hi)
+        kl, diverged, lgc = policy_kl_at(log_alpha, cost, ctl, param, mu0, sigma0)
+        return lgc, kl, diverged, 10.0 ** log_alpha
+
+    # ------------------------------------------------------------------ scoring
+    def expected_cost(cost, xdist, udist):
+        """Exact quadratic expectation incl. covariance trace terms
+        (rgps/objects.py:128-142, stoch=True)."""
+        base = evaluate_quadratic_cost(cost, xdist.mu, udist.mu)
+        tx = jnp.einsum("tij,tji->", cost.Cxx, xdist.sigma)
+        tu = jnp.einsum("tij,tji->", cost.Cuu[: T - 1], udist.sigma[:-1])
+        return base + tx + tu
+
+    def propagate(lgc, mu0, sigma0):
+        xdist, udist, lgd = extended_kalman(env, lgc, mu0, sigma0)
+        u_last = jnp.concatenate([jnp.zeros((1, du), udist.mu.dtype), udist.mu[:-1]])
+        costs = jax.vmap(env.cost)(xdist.mu[:T], udist.mu, u_last, weighting[:T])
+        c_T = env.cost(
+            xdist.mu[T], jnp.zeros(du, udist.mu.dtype),
+            jnp.zeros(du, udist.mu.dtype), weighting[T],
+        )
+        nominal_mu = jax.vmap(vec_from_matrices)(lgd.A, lgd.B, lgd.c)
+        return nominal_mu, jnp.sum(costs) + c_T
+
+    # ------------------------------------------------------------------ main loop
+    def iteration(state: RGPSState, _):
+        mu0, sigma0 = state.xdist.mu[0], state.xdist.sigma[0]
+
+        if optimize_adversary:
+            param, beta = adversary(
+                state.ctl, state.cost, state.xdist, state.nominal, mu0, sigma0
+            )
+        else:
+            param, beta = state.nominal, state.beta
+
+        lgc, kl, diverged, alpha = policy(state.ctl, state.cost, param, mu0, sigma0)
+        # acceptance (mbrgps.py:818 via solvers/rgps._policy_kl_ok): kl < 1.25·bound
+        accept = (kl < 1.25 * policy_kl_bound) & ~diverged
+
+        xdist_n, udist_n, _ = cubature(lgc, param, mu0, sigma0)
+        if variant == "mb":
+            nominal_mu_n, ret = propagate(lgc, mu0, sigma0)
+            nominal_n = MatrixNormalParams(
+                mu=nominal_mu_n, sigma=state.nominal.sigma
+            )
+        else:
+            nominal_n = state.nominal
+            ret = expected_cost(state.cost, xdist_n, udist_n)
+        cost_n = quadratize(xdist_n.mu, udist_n.mu)
+
+        sel = lambda a, b: jax.tree.map(lambda x, y: jnp.where(accept, x, y), a, b)
+        new = RGPSState(
+            ctl=sel(lgc, state.ctl),
+            xdist=sel(xdist_n, state.xdist),
+            udist=sel(udist_n, state.udist),
+            cost=sel(cost_n, state.cost),
+            nominal=sel(nominal_n, state.nominal),
+            last_return=jnp.where(accept, ret, state.last_return),
+            beta=beta,
+            alpha=alpha,
+        )
+        return new, new.last_return
+
+    def solve(mu0: Array, sigma0: Array):
+        ctl0 = LinearGaussianPolicy(
+            K=jnp.zeros((T, du, dx), mu0.dtype),
+            kff=jnp.zeros((T, du), mu0.dtype),
+            sigma=jnp.tile(
+                init_action_sigma * jnp.eye(du, dtype=mu0.dtype), (T, 1, 1)
+            ),
+        )
+        nominal_sigma = nominal_variance * jnp.tile(
+            jnp.eye(p, dtype=mu0.dtype), (T, 1, 1)
+        )
+        if variant == "lr":
+            A, B, c = env._ABc()
+            nominal0 = MatrixNormalParams(
+                mu=jnp.tile(vec_from_matrices(
+                    jnp.asarray(A, mu0.dtype), jnp.asarray(B, mu0.dtype),
+                    jnp.asarray(c, mu0.dtype),
+                ), (T, 1)),
+                sigma=nominal_sigma,
+            )
+            xdist0, udist0, _ = cubature(ctl0, nominal0, mu0, sigma0)
+            cost0 = quadratize(xdist0.mu, udist0.mu)
+            ret0 = expected_cost(cost0, xdist0, udist0)
+        else:
+            nominal_mu0, ret0 = propagate(ctl0, mu0, sigma0)
+            nominal0 = MatrixNormalParams(mu=nominal_mu0, sigma=nominal_sigma)
+            xdist0, udist0, _ = cubature(ctl0, nominal0, mu0, sigma0)
+            cost0 = quadratize(xdist0.mu, udist0.mu)
+
+        state = RGPSState(
+            ctl=ctl0, xdist=xdist0, udist=udist0, cost=cost0, nominal=nominal0,
+            last_return=ret0,
+            beta=jnp.asarray(1e16, mu0.dtype),
+            alpha=jnp.asarray(1e8, mu0.dtype),
+        )
+        state, trace = lax.scan(iteration, state, None, length=nb_iter)
+        return state, jnp.concatenate([ret0[None], trace])
+
+    return solve
