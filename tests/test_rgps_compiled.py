@@ -70,3 +70,22 @@ def test_compiled_mbrgps_runs_on_pendulum():
     tr = np.asarray(trace)
     assert np.all(np.isfinite(tr))
     assert np.all(np.diff(tr) <= 1e-6)
+
+
+def test_compiled_mfrgps_improves():
+    """Compiled model-free robust GPS: sampled rollouts + meanfield MatrixNormal
+    nominal + learned noise inside the compiled min-max loop (rgps/mfrgps.py)."""
+    env = trajopt_tpu.make("LQR-TO-v1")
+    mu0, sigma0 = env.init()
+    solve = jax.jit(make_rgps_solver(
+        env, nb_steps=20, variant="mf", nb_iter=4, init_action_sigma=5.0,
+        policy_kl_bound=1.0, param_nominal_kl_bound=50.0, nb_episodes=20,
+    ))
+    state, trace = solve(
+        jnp.asarray(mu0), jnp.asarray(sigma0), jax.random.PRNGKey(3)
+    )
+    tr = np.asarray(trace)
+    assert np.all(np.isfinite(tr))
+    assert np.all(np.diff(tr) <= 1e-6)
+    assert tr[-1] < tr[0]
+    assert float(state.beta) < 1.0  # adversary active within the KL ball

@@ -60,6 +60,8 @@ class RGPSState(NamedTuple):
     udist: GaussianSequence
     cost: object                # QuadraticCost
     nominal: MatrixNormalParams
+    noise: Array                # (T, dx, dx) process noise (learned for 'mf')
+    key: Array                  # rollout PRNG key ('mf' only; dummy otherwise)
     last_return: Array
     beta: Array                 # last adversary dual
     alpha: Array                # last policy dual
@@ -81,6 +83,8 @@ def make_rgps_solver(
     beta_iters: int = 50,
     alpha_bisect_iters: int = 64,
     fp_iters: int = 100,
+    nb_episodes: int = 25,
+    prior: dict | None = None,
 ):
     """Build ``solve(mu0, sigma0) -> (state, trace)`` — compiled robust GPS.
 
@@ -88,9 +92,12 @@ def make_rgps_solver(
     (rgps/lrgps.py:100-112) and scores iterates by the exact quadratic expectation;
     ``variant='mb'`` relinearizes the nominal along the EKF mean trajectory each
     accepted iteration (rgps/mbrgps.py:747-754) and scores by the propagated mean
-    cost.
+    cost; ``variant='mf'`` learns the nominal (a meanfield MatrixNormal posterior
+    over θ) and the process noise from sampled rollouts each accepted iteration
+    (rgps/mfrgps.py:87, 542-572) — for it, ``solve(mu0, sigma0, key)`` takes the
+    rollout PRNG key, consumed only on accepted iterations (the host's sequence).
     """
-    if variant not in ("lr", "mb"):
+    if variant not in ("lr", "mb", "mf"):
         raise ValueError(f"unknown variant {variant!r}")
 
     overrides = {"slew_rate": slew_rate}
@@ -102,17 +109,18 @@ def make_rgps_solver(
     dx, du = env.dm_state, env.dm_act
     p = dx * (dx + du + 1)
     weighting = make_weighting(nb_steps, activation)
-    noise = jnp.tile(jnp.asarray(env.sigma), (T, 1, 1))
+    noise_fixed = jnp.tile(jnp.asarray(env.sigma), (T, 1, 1))
+    prior_dict = {"K": 1e-6, "psi": 1e-8, "nu": 0.1} if prior is None else prior
     LOG_LO, LOG_HI = -16.0, 16.0
 
     def quadratize(xmu, umu):
         return quadratize_cost_abs(env.cost, xmu, umu, weighting)
 
-    def cubature(ctl, param, mu0, sigma0):
+    def cubature(ctl, param, mu0, sigma0, noise):
         return cubature_forward_pass(mu0, sigma0, param, noise, ctl)
 
     # ------------------------------------------------------------- adversary side
-    def fixed_point(agCpp, agcp, ctl, cost, xdist0, beta, mu0, sigma0):
+    def fixed_point(agCpp, agcp, ctl, cost, xdist0, beta, mu0, sigma0, noise):
         """The host's _param_fixed_point_impl (mbrgps.py:386-408) verbatim."""
         dummy = MatrixNormalParams(
             mu=jnp.zeros((T, p), mu0.dtype),
@@ -128,7 +136,7 @@ def make_rgps_solver(
             param, value, diverged = parameter_backward_pass(
                 q, ctl, noise, cost, agCpp, agcp, beta
             )
-            p_xdist, _, _ = cubature(ctl, param, mu0, sigma0)
+            p_xdist, _, _ = cubature(ctl, param, mu0, sigma0, noise)
             kl = gaussian_kl(p_xdist, q)
             q_new = gaussian_interp_kl(q, p_xdist, 1e-1)
             return (q_new, param, value, kl, diverged, it + 1)
@@ -152,7 +160,7 @@ def make_rgps_solver(
             )
         )
 
-    def adversary(ctl, cost, xdist, nominal, mu0, sigma0):
+    def adversary(ctl, cost, xdist, nominal, mu0, sigma0, noise):
         """Geometric β-bisection (mbrgps.py:419-451) as a fixed-length scan."""
         bound = param_nominal_kl_bound
 
@@ -161,7 +169,7 @@ def make_rgps_solver(
             _parameter_dual returns the NEGATED gradient, solvers/rgps.py)."""
             agCpp, agcp, _ = parameter_augment_cost(nominal, beta)
             _, param, diverged = fixed_point(
-                agCpp, agcp, ctl, cost, xdist, beta, mu0, sigma0
+                agCpp, agcp, ctl, cost, xdist, beta, mu0, sigma0, noise
             )
             hg = bound - nominal_kl(param, nominal)
             bad = diverged | ~jnp.isfinite(hg)
@@ -197,28 +205,28 @@ def make_rgps_solver(
 
         agCpp, agcp, _ = parameter_augment_cost(nominal, beta_star)
         _, param, _ = fixed_point(
-            agCpp, agcp, ctl, cost, xdist, beta_star, mu0, sigma0
+            agCpp, agcp, ctl, cost, xdist, beta_star, mu0, sigma0, noise
         )
         return param, beta_star
 
     # ---------------------------------------------------------------- policy side
-    def policy_kl_at(log_alpha, cost, ctl, param, mu0, sigma0):
+    def policy_kl_at(log_alpha, cost, ctl, param, mu0, sigma0, noise):
         alpha = jnp.full(T, 10.0 ** log_alpha, mu0.dtype)
         agcost = augment_cost_kl(cost, ctl, alpha)
         lgc, xvalue, xuvalue, diverged = policy_backward_pass(
             agcost, param, noise, alpha
         )
-        xdist, _, _ = cubature(lgc, param, mu0, sigma0)
+        xdist, _, _ = cubature(lgc, param, mu0, sigma0, noise)
         kl = jnp.sum(policy_kl(lgc, ctl, xdist))
         return kl, diverged, lgc
 
-    def policy(ctl, cost, param, mu0, sigma0):
+    def policy(ctl, cost, param, mu0, sigma0, noise):
         bound = policy_kl_bound
 
         def body(carry, _):
             lo, hi = carry
             mid = 0.5 * (lo + hi)
-            kl, diverged, _ = policy_kl_at(mid, cost, ctl, param, mu0, sigma0)
+            kl, diverged, _ = policy_kl_at(mid, cost, ctl, param, mu0, sigma0, noise)
             too_small = diverged | (kl > bound)
             return (jnp.where(too_small, mid, lo), jnp.where(too_small, hi, mid)), None
 
@@ -228,7 +236,7 @@ def make_rgps_solver(
             None, length=alpha_bisect_iters,
         )
         log_alpha = 0.5 * (lo + hi)
-        kl, diverged, lgc = policy_kl_at(log_alpha, cost, ctl, param, mu0, sigma0)
+        kl, diverged, lgc = policy_kl_at(log_alpha, cost, ctl, param, mu0, sigma0, noise)
         return lgc, kl, diverged, 10.0 ** log_alpha
 
     # ------------------------------------------------------------------ scoring
@@ -239,6 +247,19 @@ def make_rgps_solver(
         tx = jnp.einsum("tij,tji->", cost.Cxx, xdist.sigma)
         tu = jnp.einsum("tij,tji->", cost.Cuu[: T - 1], udist.sigma[:-1])
         return base + tx + tu
+
+    def sample_and_fit(key, ctl):
+        """Rollouts → meanfield MatrixNormal nominal + learned noise + sampled
+        mean return + quadratization point (rgps/mfrgps.py:542-580)."""
+        from ..solvers.common import rollout_batch
+        from .regression import mniw_meanfield_params
+
+        data = rollout_batch(env, ctl, key, weighting, nb_episodes)
+        nominal, noise_l = mniw_meanfield_params(
+            data["x"], data["u"], data["xn"], prior_dict
+        )
+        ret = jnp.mean(jnp.sum(data["c"], axis=1))
+        return nominal, noise_l, ret
 
     def propagate(lgc, mu0, sigma0):
         xdist, udist, lgd = extended_kalman(env, lgc, mu0, sigma0)
@@ -257,23 +278,32 @@ def make_rgps_solver(
 
         if optimize_adversary:
             param, beta = adversary(
-                state.ctl, state.cost, state.xdist, state.nominal, mu0, sigma0
+                state.ctl, state.cost, state.xdist, state.nominal, mu0, sigma0,
+                state.noise,
             )
         else:
             param, beta = state.nominal, state.beta
 
-        lgc, kl, diverged, alpha = policy(state.ctl, state.cost, param, mu0, sigma0)
+        lgc, kl, diverged, alpha = policy(
+            state.ctl, state.cost, param, mu0, sigma0, state.noise
+        )
         # acceptance (mbrgps.py:818 via solvers/rgps._policy_kl_ok): kl < 1.25·bound
         accept = (kl < 1.25 * policy_kl_bound) & ~diverged
 
-        xdist_n, udist_n, _ = cubature(lgc, param, mu0, sigma0)
+        noise_n, key_n = state.noise, state.key
         if variant == "mb":
             nominal_mu_n, ret = propagate(lgc, mu0, sigma0)
             nominal_n = MatrixNormalParams(
                 mu=nominal_mu_n, sigma=state.nominal.sigma
             )
+        elif variant == "mf":
+            k_roll, key_n = jax.random.split(state.key)
+            nominal_n, noise_n, ret = sample_and_fit(k_roll, lgc)
         else:
             nominal_n = state.nominal
+        # cubature under the refreshed model (lrgps.py:529, mfrgps.py:607)
+        xdist_n, udist_n, _ = cubature(lgc, param, mu0, sigma0, noise_n)
+        if variant == "lr":
             ret = expected_cost(state.cost, xdist_n, udist_n)
         cost_n = quadratize(xdist_n.mu, udist_n.mu)
 
@@ -284,13 +314,15 @@ def make_rgps_solver(
             udist=sel(udist_n, state.udist),
             cost=sel(cost_n, state.cost),
             nominal=sel(nominal_n, state.nominal),
+            noise=sel(noise_n, state.noise),
+            key=sel(key_n, state.key),
             last_return=jnp.where(accept, ret, state.last_return),
             beta=beta,
             alpha=alpha,
         )
         return new, new.last_return
 
-    def solve(mu0: Array, sigma0: Array):
+    def solve(mu0: Array, sigma0: Array, key: Array | None = None):
         ctl0 = LinearGaussianPolicy(
             K=jnp.zeros((T, du, dx), mu0.dtype),
             kff=jnp.zeros((T, du), mu0.dtype),
@@ -301,6 +333,8 @@ def make_rgps_solver(
         nominal_sigma = nominal_variance * jnp.tile(
             jnp.eye(p, dtype=mu0.dtype), (T, 1, 1)
         )
+        noise0 = noise_fixed.astype(mu0.dtype)
+        key0 = jax.random.PRNGKey(0) if key is None else key
         if variant == "lr":
             A, B, c = env._ABc()
             nominal0 = MatrixNormalParams(
@@ -310,17 +344,26 @@ def make_rgps_solver(
                 ), (T, 1)),
                 sigma=nominal_sigma,
             )
-            xdist0, udist0, _ = cubature(ctl0, nominal0, mu0, sigma0)
+            xdist0, udist0, _ = cubature(ctl0, nominal0, mu0, sigma0, noise0)
             cost0 = quadratize(xdist0.mu, udist0.mu)
             ret0 = expected_cost(cost0, xdist0, udist0)
+        elif variant == "mf":
+            k_roll, key0 = jax.random.split(key0)
+            nominal0, noise0, ret0 = sample_and_fit(k_roll, ctl0)
+            nominal0 = nominal0._replace(
+                sigma=nominal0.sigma.astype(mu0.dtype)
+            )
+            xdist0, udist0, _ = cubature(ctl0, nominal0, mu0, sigma0, noise0)
+            cost0 = quadratize(xdist0.mu, udist0.mu)
         else:
             nominal_mu0, ret0 = propagate(ctl0, mu0, sigma0)
             nominal0 = MatrixNormalParams(mu=nominal_mu0, sigma=nominal_sigma)
-            xdist0, udist0, _ = cubature(ctl0, nominal0, mu0, sigma0)
+            xdist0, udist0, _ = cubature(ctl0, nominal0, mu0, sigma0, noise0)
             cost0 = quadratize(xdist0.mu, udist0.mu)
 
         state = RGPSState(
             ctl=ctl0, xdist=xdist0, udist=udist0, cost=cost0, nominal=nominal0,
+            noise=noise0, key=key0,
             last_return=ret0,
             beta=jnp.asarray(1e16, mu0.dtype),
             alpha=jnp.asarray(1e8, mu0.dtype),
