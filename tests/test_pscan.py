@@ -107,3 +107,39 @@ def test_sharded_backward_matches_single_device(T):
                                rtol=1e-8, atol=1e-9)
     np.testing.assert_allclose(np.asarray(val_p.V), np.asarray(val_s.V),
                                rtol=1e-7, atol=1e-8)
+
+
+def test_lane_major_assoc_scan_matches():
+    """The lane-major (entry-plane) associative scan must agree with the
+    cube-layout scan to machine precision — same composition, different layout
+    and a pivot-free Gauss-Jordan in place of the LU solve."""
+    import jax
+
+    from trajopt_tpu.core.pscan_lqr import pilqr_backward, pilqr_backward_lanes
+
+    T, dx, du = 57, 4, 2
+    ks = jax.random.split(jax.random.PRNGKey(0), 8)
+
+    def spd(k, d, n):
+        M = jax.random.normal(k, (n, d, d))
+        return jnp.einsum("nij,nkj->nik", M, M) + d * jnp.eye(d)
+
+    cost = QuadraticCost(
+        Cxx=spd(ks[0], dx, T + 1),
+        cx=jax.random.normal(ks[1], (T + 1, dx)),
+        Cuu=spd(ks[2], du, T + 1),
+        cu=jax.random.normal(ks[3], (T + 1, du)),
+        Cxu=0.1 * jax.random.normal(ks[4], (T + 1, dx, du)),
+        c0=jnp.zeros(T + 1),
+    )
+    A = 0.95 * (jnp.eye(dx) + 0.05 * jax.random.normal(ks[5], (T, dx, dx)))
+    B = 0.1 * jax.random.normal(ks[6], (T, dx, du))
+
+    p1, v1, dv1 = jax.jit(pilqr_backward)(cost, A, B)
+    p2, v2, dv2 = jax.jit(pilqr_backward_lanes)(cost, A, B)
+    np.testing.assert_allclose(np.asarray(p1.K), np.asarray(p2.K),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(v1.V), np.asarray(v2.V),
+                               rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(dv1), np.asarray(dv2),
+                               rtol=1e-10, atol=1e-12)

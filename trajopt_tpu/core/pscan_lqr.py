@@ -188,6 +188,167 @@ def pilqr_backward(
 
 
 # --------------------------------------------------------------------------------------
+# Lane-major parallel Riccati
+# --------------------------------------------------------------------------------------
+#
+# The element leaves above are (T, dx, dx) cubes, so every combine puts the tiny dx
+# dims on the 128-wide vector lanes (a (T, 4, 4) solve lights 4 lanes) — measured
+# ~1e6 timesteps/s at batch 1024 on a v5e chip, SLOWER than the sequential scan.
+# The lane-major variant stores each matrix ENTRY as its own plane of shape
+# (..., T): the horizon (and any problem batch) rides the vector lanes, and the
+# combine becomes unrolled scalar recurrences over fully-occupied tiles — the same
+# trick as core/pallas_lqr.py, but in plain XLA because ``lax.associative_scan``
+# already provides the O(log T) schedule.  The (I + C₁J₂)⁻¹ solve becomes an
+# unrolled Gauss–Jordan elimination (no pivoting; the matrix is similar to
+# I + PSD·PSD with eigenvalues ≥ 1, and the pivoted jnp.linalg path above remains
+# the reference implementation the tests compare against).
+
+
+class LaneElement(NamedTuple):
+    A: Array    # (dx*dx, ..., T)
+    b: Array    # (dx,    ..., T)
+    C: Array    # (dx*dx, ..., T)
+    eta: Array  # (dx,    ..., T)
+    J: Array    # (dx*dx, ..., T)
+
+
+def _to_planes(M: Array) -> Array:
+    """(T, n, m) → (n*m, T) entry-major planes (leading batch axes allowed)."""
+    n, m = M.shape[-2], M.shape[-1]
+    return jnp.moveaxis(M.reshape(M.shape[:-2] + (n * m,)), -1, 0).reshape(
+        (n * m,) + M.shape[:-2]
+    )
+
+
+def _from_planes(P: Array, n: int, m: int) -> Array:
+    """(n*m, ..., T) → (..., T, n, m)."""
+    out = jnp.moveaxis(P, 0, -1)           # (..., T, n*m)
+    return out.reshape(out.shape[:-1] + (n, m))
+
+
+def _rows(P: Array, n: int, m: int):
+    return [[P[i * m + j] for j in range(m)] for i in range(n)]
+
+
+def _lmm(A, B):
+    n, k, m = len(A), len(B), len(B[0])
+    return [[sum(A[i][l] * B[l][j] for l in range(k)) for j in range(m)]
+            for i in range(n)]
+
+
+def _lmv(A, x):
+    return [sum(A[i][j] * x[j] for j in range(len(x))) for i in range(len(A))]
+
+
+def _lt(A):
+    return [[A[i][j] for i in range(len(A))] for j in range(len(A[0]))]
+
+
+def _gj_inv(A):
+    """Unrolled Gauss–Jordan inverse (no pivoting) of a small matrix per lane."""
+    n = len(A)
+    M = [row[:] for row in A]
+    one = jnp.ones_like(A[0][0])
+    zero = jnp.zeros_like(A[0][0])
+    I = [[one if i == j else zero for j in range(n)] for i in range(n)]
+    for k in range(n):
+        piv = 1.0 / M[k][k]
+        M[k] = [e * piv for e in M[k]]
+        I[k] = [e * piv for e in I[k]]
+        for i in range(n):
+            if i == k:
+                continue
+            f = M[i][k]
+            M[i] = [M[i][j] - f * M[k][j] for j in range(n)]
+            I[i] = [I[i][j] - f * I[k][j] for j in range(n)]
+    return I
+
+
+def _combine_lanes(e1: LaneElement, e2: LaneElement, dx: int) -> LaneElement:
+    """The composition of :func:`combine` in entry-plane form."""
+    A1, C1, J1 = _rows(e1.A, dx, dx), _rows(e1.C, dx, dx), _rows(e1.J, dx, dx)
+    A2, C2, J2 = _rows(e2.A, dx, dx), _rows(e2.C, dx, dx), _rows(e2.J, dx, dx)
+    b1 = [e1.b[i] for i in range(dx)]
+    b2 = [e2.b[i] for i in range(dx)]
+    n1 = [e1.eta[i] for i in range(dx)]
+    n2 = [e2.eta[i] for i in range(dx)]
+
+    C1J2 = _lmm(C1, J2)
+    M = [[C1J2[i][j] + (1.0 if i == j else 0.0) for j in range(dx)]
+         for i in range(dx)]
+    G = _gj_inv(M)                      # (I + C1 J2)^{-1}
+    Gt = _lt(G)
+
+    A2G = _lmm(A2, G)
+    A12 = _lmm(A2G, A1)
+    b12 = [s + b2[i] for i, s in enumerate(_lmv(A2G, [
+        b1[k] + sum(C1[k][l] * n2[l] for l in range(dx)) for k in range(dx)
+    ]))]
+    C12 = _lmm(_lmm(A2G, C1), _lt(A2))
+    C12 = [[0.5 * (C12[i][j] + C12[j][i]) + C2[i][j] for j in range(dx)]
+           for i in range(dx)]
+    A1tGt = _lmm(_lt(A1), Gt)
+    eta12 = [s + n1[i] for i, s in enumerate(_lmv(A1tGt, [
+        n2[k] - sum(J2[k][l] * b1[l] for l in range(dx)) for k in range(dx)
+    ]))]
+    J12 = _lmm(_lmm(A1tGt, J2), A1)
+    J12 = [[0.5 * (J12[i][j] + J12[j][i]) + J1[i][j] for j in range(dx)]
+           for i in range(dx)]
+
+    stack = lambda rows: jnp.stack([e for row in rows for e in row])
+    return LaneElement(
+        A=stack(A12), b=jnp.stack(b12), C=stack(C12),
+        eta=jnp.stack(eta12), J=stack(J12),
+    )
+
+
+def suffix_scan_lanes(elements: RiccatiElement) -> tuple[Array, Array]:
+    """Lane-major suffix scan: returns (S (T+1, dx, dx), s (T+1, dx)) with
+    S = J-planes, s = −η-planes of the suffix composites — the only parts the
+    gain computation consumes."""
+    dx = elements.A.shape[-1]
+    els = LaneElement(
+        A=_to_planes(elements.A),
+        b=jnp.moveaxis(elements.b, -1, 0),
+        C=_to_planes(elements.C),
+        eta=jnp.moveaxis(elements.eta, -1, 0),
+        J=_to_planes(elements.J),
+    )
+    suf = lax.associative_scan(
+        lambda x, y: _combine_lanes(y, x, dx), els, reverse=True,
+        axis=els.A.ndim - 1,  # scan axis is last on every leaf (rank is uniform)
+    )
+    S = _from_planes(suf.J, dx, dx)
+    s = -jnp.moveaxis(suf.eta, 0, -1)
+    return S, s
+
+
+def pilqr_backward_lanes(
+    cost: QuadraticCost, A: Array, B: Array
+) -> tuple[LinearPolicy, QuadraticValue, Array]:
+    """Lane-major counterpart of :func:`pilqr_backward` (identical contract)."""
+    T = A.shape[0]
+    c = jnp.zeros((T, A.shape[-1]), A.dtype)
+    Q, q = cost.Cxx[:T], cost.cx[:T]
+    R, r = cost.Cuu[:T], cost.cu[:T]
+    M = cost.Cxu[:T]
+
+    els = make_elements(Q, q, R, r, M, A, B, c, cost.Cxx[T], cost.cx[T])
+    S, s = suffix_scan_lanes(els)
+
+    K, kff = jax.vmap(_gains)(Q, R, r, M, A, B, c, S[1:], s[1:])
+
+    def dv_t(K_t, kff_t, R_t, r_t, B_t, S_n, s_n):
+        Quu = R_t + B_t.T @ S_n @ B_t
+        qu = r_t + B_t.T @ s_n
+        return jnp.stack([kff_t @ qu, 0.5 * kff_t @ Quu @ kff_t])
+
+    dV = jnp.sum(jax.vmap(dv_t)(K, kff, R, r, B, S[1:], s[1:]), axis=0)
+    value = QuadraticValue(V=S, v=s, v0=jnp.zeros(T + 1, S.dtype))
+    return LinearPolicy(K=K, kff=kff), value, dV
+
+
+# --------------------------------------------------------------------------------------
 # Horizon sharding across devices
 # --------------------------------------------------------------------------------------
 
