@@ -196,3 +196,35 @@ def test_mbrgps_runs_on_pendulum():
     trace = solver.run(nb_iter=3)
     assert len(trace) >= 2
     assert all(np.isfinite(trace))
+
+
+def test_robust_beats_standard_under_attack():
+    """The headline RGPS behavioral guarantee (reference examples/rgps/mb_lqr.py:
+    53-111): train with and without the adversary, attack the STANDARD controller
+    with the worst-case parameter distribution at the full KL budget, and check
+    the robust controller pays a nominal premium but wins under attack."""
+    from trajopt_tpu.solvers.rgps import LRGPS as _LRGPS
+
+    env = trajopt_tpu.make("LQR-TO-v1", sigma_scale=1e-4)
+    kwargs = dict(
+        nb_steps=20, init_state=env.init(), init_action_sigma=100.0,
+        policy_kl_bound=0.25, param_nominal_kl_bound=200.0,
+        param_regularizer_kl_bound=10.0,
+    )
+    rgps = _LRGPS(env, **kwargs)
+    rgps.run(nb_iter=15)
+    gps = _LRGPS(env, **kwargs)
+    gps.run(nb_iter=15, optimize_adversary=False)
+
+    attack, _ = gps.parameter_optimization(gps.ctl)
+    assert float(jnp.sum(gps.parameter_nominal_kldiv(attack))) > 100.0
+
+    def ec(s, ctl, param):
+        xd, ud, _ = s._cubature(ctl, param)
+        return s._expected_cost(xd, ud)
+
+    std_nom, std_att = ec(gps, gps.ctl, gps.nominal), ec(gps, gps.ctl, attack)
+    rb_nom, rb_att = ec(rgps, rgps.ctl, rgps.nominal), ec(rgps, rgps.ctl, attack)
+
+    assert rb_nom > std_nom        # robustness premium on the nominal model
+    assert rb_att < std_att        # and the payoff under attack
