@@ -89,15 +89,46 @@ def belief_ekf_step(env, mu_b: Array, sigma_b: Array, u: Array):
     K = D @ H.T @ _inv(S)
 
     W = K @ H @ D
-    phi = symmetrize(D - K @ H @ D)
+    # Joseph form of D − KHD (identical for the optimal gain, but guaranteed PSD
+    # in f32 — the plain difference cancels catastrophically on TPU and produced
+    # negative variances on the car task)
+    I_KH = jnp.eye(D.shape[0], dtype=D.dtype) - K @ H
+    phi = _psd_floor(symmetrize(I_KH @ D @ I_KH.T + K @ sigma_obs @ K.T))
     return f, W, phi
 
 
+def _psd_floor(M: Array) -> Array:
+    """Relative diagonal floor, f32 only (no-op in f64 — the reference's own
+    1e-8 noise floors suffice there).
+
+    Belief envs observe some channels noiselessly, so the posterior covariance
+    collapses to exact singularity in f32; differentiating the next EKF step
+    through its Cholesky then yields NaN Jacobians.
+    """
+    if M.dtype != jnp.float32:
+        return M
+    d = M.shape[-1]
+    scale = jnp.trace(M) / d + jnp.asarray(1e-12, M.dtype)
+    return M + 1e-5 * scale * jnp.eye(d, dtype=M.dtype)
+
+
 def _inv(S: Array) -> Array:
-    # S is an innovation covariance (SPD) — Cholesky inverse works on TPU in f32
+    """Innovation-covariance inverse via Cholesky.
+
+    In f32 a *relative* jitter is added first: belief envs follow the reference
+    in using a 1e-8 absolute noise floor (car.py:86-89), which underflows against
+    O(1) covariances in f32 and makes S exactly singular on the channels the
+    light-dark profile leaves noiseless (observed: NaNs on the car task on TPU).
+    The jitter is zero in f64, where the reference's own floor suffices.
+    """
     from ..utils.psd import inv_psd
 
-    return inv_psd(symmetrize(S))
+    S = symmetrize(S)
+    if S.dtype == jnp.float32:
+        d = S.shape[-1]
+        scale = jnp.trace(S) / d + jnp.asarray(1e-12, S.dtype)
+        S = S + 1e-5 * scale * jnp.eye(d, dtype=S.dtype)
+    return inv_psd(S)
 
 
 class EKF:
@@ -114,10 +145,13 @@ class EKF:
 
     def innovate(self, mu_b, sigma_b, z):
         H = jax.jacfwd(self.env.observe)(mu_b)
-        S = H @ sigma_b @ H.T + self.env.obs_noise(mu_b)
+        R = self.env.obs_noise(mu_b)
+        S = H @ sigma_b @ H.T + R
         K = sigma_b @ H.T @ _inv(S)
         mu = mu_b + K @ (z - self.env.observe(mu_b))
-        sigma = symmetrize(sigma_b - K @ H @ sigma_b)
+        # Joseph form (see belief_ekf_step): PSD-stable in f32
+        I_KH = jnp.eye(sigma_b.shape[0], dtype=sigma_b.dtype) - K @ H
+        sigma = _psd_floor(symmetrize(I_KH @ sigma_b @ I_KH.T + K @ R @ K.T))
         return mu, sigma
 
     def inference(self, mu_b, sigma_b, u, z):
