@@ -10,12 +10,7 @@ import trajopt_tpu
 from trajopt_tpu.core.ekf import EKF
 from trajopt_tpu.solvers import BSPiLQR
 
-# The reference's 1e-8 noise floors (car.py:18-19) assume f64; in f32 on TPU the
-# y-channel covariance collapses below machine precision and the Kalman-gain
-# magnitudes make entrywise covariance updates lose positive-definiteness.  A
-# physically tiny 1e-3 floor keeps the filter conditioned at f32.
-scale = 1e-8 if jax.default_backend() == "cpu" else 1e-3
-env = trajopt_tpu.make("Car-TO-v0", dyn_sigma_scale=scale, obs_sigma_scale=scale)
+env = trajopt_tpu.make("Car-TO-v0")
 nb_steps = 15
 key = jax.random.PRNGKey(0)
 
