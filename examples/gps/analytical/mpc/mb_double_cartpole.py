@@ -1,4 +1,5 @@
-"""MBGPS MPC on the double cartpole (mirror of .../mpc/mb_double_cartpole.py)."""
+"""MBGPS MPC on the double cartpole (mirror of .../mpc/mb_double_cartpole.py),
+compiled end to end (parallel/gps.make_gps_mpc_runner)."""
 import sys, pathlib
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[4]))
 from examples._common import setup, plot_trajectory
@@ -6,20 +7,12 @@ from examples._common import setup, plot_trajectory
 args = setup()
 import jax, jax.numpy as jnp, numpy as np
 import trajopt_tpu
-from trajopt_tpu.solvers import MBGPS
+from trajopt_tpu.parallel.gps import make_gps_mpc_runner
 
 env = trajopt_tpu.make("DoubleCartpole-TO-v0", dt=0.05)
-horizon, nb_steps = 20, 60
-key = jax.random.PRNGKey(0)
-x = env.sample_init(key)
-states, actions = [np.asarray(x)], []
-for t in range(nb_steps):
-    solver = MBGPS(env, nb_steps=horizon, init_state=(x, jnp.asarray(env.sigma)),
-                   init_action_sigma=1.0, kl_bound=2.0, action_penalty=1e-5)
-    solver.run(nb_iter=3)
-    u = jnp.clip(solver.ctl.mean(x, 0), -env.ulim, env.ulim)
-    key, k = jax.random.split(key)
-    x = env.step(k, x, u)
-    states.append(np.asarray(x)); actions.append(np.asarray(u))
-print(f"final state: {states[-1]}")
-plot_trajectory(args, np.stack(states), np.stack(actions))
+run = jax.jit(make_gps_mpc_runner(env, horizon=20, nb_steps=60, nb_iter=3,
+                                  init_action_sigma=1.0, kl_bound=2.0,
+                                  action_penalty=1e-5))
+xs, us, cs = run(jax.random.PRNGKey(0), env.sample_init(jax.random.PRNGKey(0)))
+print(f"accumulated cost: {float(jnp.sum(cs)):.2f}, final state: {np.asarray(xs[-1])}")
+plot_trajectory(args, np.asarray(xs), np.asarray(us))

@@ -1,4 +1,10 @@
-"""MBGPS MPC on LQR (mirror of examples/gps/analytical/mpc/mb_lqr.py)."""
+"""MBGPS MPC on LQR (mirror of examples/gps/analytical/mpc/mb_lqr.py).
+
+The reference re-instantiates the SLSQP-driven solver at every control step;
+on a remote TPU every dual evaluation would be a host-device round trip, so
+this runs the whole receding-horizon loop as ONE compiled program
+(parallel/gps.make_gps_mpc_runner: log-alpha bisection dual, lax.scan over
+control steps)."""
 import sys, pathlib
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[4]))
 from examples._common import setup
@@ -6,19 +12,11 @@ from examples._common import setup
 args = setup()
 import jax, jax.numpy as jnp, numpy as np
 import trajopt_tpu
-from trajopt_tpu.solvers import MBGPS
+from trajopt_tpu.parallel.gps import make_gps_mpc_runner
 
 env = trajopt_tpu.make("LQR-TO-v0")
-horizon, nb_steps = 20, 50
-key = jax.random.PRNGKey(0)
-x = env.sample_init(key)
-total = 0.0
-for t in range(nb_steps):
-    solver = MBGPS(env, nb_steps=horizon, init_state=(x, jnp.asarray(env.sigma)),
-                   init_action_sigma=10.0, kl_bound=5.0)
-    solver.run(nb_iter=5)
-    u = solver.ctl.mean(x, 0)
-    total += float(env.cost(x, u, u, 1.0))
-    key, k = jax.random.split(key)
-    x = env.step(k, x, u)
-print(f"MPC LQR accumulated cost: {total:.2f}, final state {np.asarray(x)}")
+run = jax.jit(make_gps_mpc_runner(env, horizon=20, nb_steps=50, nb_iter=10,
+                                  init_action_sigma=10.0, kl_bound=50.0))
+xs, us, cs = run(jax.random.PRNGKey(0), env.sample_init(jax.random.PRNGKey(0)))
+print(f"MPC LQR accumulated cost: {float(jnp.sum(cs)):.2f}, "
+      f"final state {np.asarray(xs[-1])}")
