@@ -198,6 +198,7 @@ def make_bsp_mpc_runner(
     horizon: int,
     nb_steps: int,
     nb_iter: int = 25,
+    belief_filter: str = "joseph",
     **bsp_kwargs,
 ):
     """EKF-in-the-loop belief-MPC as one compiled program — the device-native
@@ -207,11 +208,26 @@ def make_bsp_mpc_runner(
     first action on the true noisy system, and fold the new observation in with an
     EKF update.
 
+    ``belief_filter`` selects the in-the-loop state estimator: ``"joseph"`` is the
+    dense EKF with Joseph-form updates (reference semantics, core/ekf.py);
+    ``"sqrt"`` carries the belief covariance as its Cholesky factor through
+    QR-array updates (core/sqrt_ekf.py) — PSD by construction, no jitters, the
+    preferred form in f32 on TPU.  Both return dense covariances to the caller.
+
     ``run(key, x0) -> (xs, belief_mus, belief_sigmas, us, costs)``.
     """
+    if belief_filter not in ("joseph", "sqrt"):
+        raise ValueError(f"unknown belief_filter {belief_filter!r}")
     solve = make_bsp_solver(env, horizon, nb_iter=nb_iter, **bsp_kwargs)
-    filt = EKF(env)
     du = env.act_dim
+    if belief_filter == "sqrt":
+        from ..core.sqrt_ekf import SqrtEKF, chol_factor
+
+        filt = SqrtEKF(env)
+        enter, leave = chol_factor, lambda L: L @ L.T
+    else:
+        filt = EKF(env)
+        enter = leave = lambda s: s
 
     def run(key: Array, x0: Array):
         mu0, sigma0 = env.init()
@@ -219,24 +235,28 @@ def make_bsp_mpc_runner(
         obs0 = jax.random.multivariate_normal(
             k, env.observe(x0), env.obs_noise(x0)
         ).astype(x0.dtype)
-        mu_b, sigma_b = filt.innovate(
-            jnp.asarray(mu0, x0.dtype), jnp.asarray(sigma0, x0.dtype), obs0
+        mu_b, cov_b = filt.innovate(
+            jnp.asarray(mu0, x0.dtype),
+            enter(jnp.asarray(sigma0, x0.dtype)),
+            obs0,
         )
 
         keys = jax.random.split(key, nb_steps)
 
         def step(carry, k):
-            x, mu_b, sigma_b = carry
+            x, mu_b, cov_b = carry
+            sigma_b = leave(cov_b)
             state, _ = solve(mu_b, sigma_b)
             u = state.uref[0]
             c = env.cost(mu_b, sigma_b, u)
             xn, obs = env.step(k, x, u)
-            mu_n, sigma_n = filt.inference(mu_b, sigma_b, u, obs)
-            return (xn, mu_n, sigma_n), (x, mu_b, sigma_b, u, c)
+            mu_n, cov_n = filt.inference(mu_b, cov_b, u, obs)
+            return (xn, mu_n, cov_n), (x, mu_b, sigma_b, u, c)
 
-        (x_T, mu_T, sig_T), (xs, mus, sigmas, us, cs) = lax.scan(
-            step, (x0, mu_b, sigma_b), keys
+        (x_T, mu_T, cov_T), (xs, mus, sigmas, us, cs) = lax.scan(
+            step, (x0, mu_b, cov_b), keys
         )
+        sig_T = leave(cov_T)
         return (
             jnp.concatenate([xs, x_T[None]], axis=0),
             jnp.concatenate([mus, mu_T[None]], axis=0),
