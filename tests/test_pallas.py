@@ -94,3 +94,33 @@ def test_time_chunk_invariance():
     pol5, dV5, _ = pallas_ilqr_backward(cost, A, B, lmbda, 1, time_chunk=5, interpret=True)
     np.testing.assert_allclose(pol1.K, pol5.K, rtol=1e-12, atol=1e-12)
     np.testing.assert_allclose(dV1, dV5, rtol=1e-12, atol=1e-12)
+
+
+def test_packed_path_matches_unpacked():
+    """pack_lanes → pallas_ilqr_backward_packed → unpack_lanes reproduces the
+    one-shot wrapper exactly (same kernel, relayout factored out)."""
+    from trajopt_tpu.core.pallas_lqr import (
+        pack_lanes,
+        pallas_ilqr_backward_packed,
+        unpack_lanes,
+    )
+
+    N, T, dx, du = 3, 7, 4, 2
+    cost, A, B, lmbda = _random_problem(jax.random.PRNGKey(11), N, T, dx, du)
+    cost, A, B, lmbda = jax.tree.map(
+        lambda x: x.astype(jnp.float32), (cost, A, B, lmbda)
+    )
+
+    pol, dV, bad = pallas_ilqr_backward(
+        cost, A, B, lmbda, reg=1, time_chunk=3, interpret=True
+    )
+    packed = pack_lanes(cost, A, B, lmbda, time_chunk=3)
+    raw = pallas_ilqr_backward_packed(
+        packed, dx, du, reg=1, time_chunk=3, interpret=True
+    )
+    pol2, dV2, bad2 = unpack_lanes(*raw, N, T, dx, du)
+
+    assert np.array_equal(np.asarray(pol.K), np.asarray(pol2.K))
+    assert np.array_equal(np.asarray(pol.kff), np.asarray(pol2.kff))
+    assert np.array_equal(np.asarray(dV), np.asarray(dV2))
+    assert np.array_equal(np.asarray(bad), np.asarray(bad2))

@@ -305,6 +305,84 @@ def _pallas_ilqr_backward_jit(cost, A, B, lmbda, reg, time_chunk):
     )
 
 
+# A "PackedLQR" is a plain dict pytree of the kernel's lane-major operands —
+# batch on the 128 vector lanes, time leading.  Produced by :func:`pack_lanes`;
+# consumed by :func:`pallas_ilqr_backward_packed`.  Callers that run the backward
+# pass repeatedly on the same linearization (λ loops, dual loops, benchmarks) pack
+# once and skip the HBM relayout that dominates the unpacked call when its inputs
+# are program inputs (measured via xprof: 54% of device time is XLA "data
+# formatting" at batch 8192 — see CLAUDE.md "Known headroom").
+PackedLQR = dict
+
+
+def pack_lanes(
+    cost: QuadraticCost, A: Array, B: Array, lmbda: Array, *, time_chunk: int = 4
+) -> PackedLQR:
+    """Relayout batch-leading operands into the kernel's native lane-major layout."""
+    N, T = A.shape[0], A.shape[1]
+    dx, du = A.shape[-1], B.shape[-1]
+    dtype = A.dtype
+
+    n_pad = max(LANES, -(-N // LANES) * LANES)
+    t_pad = -(-T // time_chunk) * time_chunk
+    pad_t = t_pad - T
+
+    def padT(x, neutral):
+        if pad_t == 0:
+            return x
+        p = jnp.broadcast_to(neutral, (x.shape[0], pad_t) + x.shape[2:]).astype(x.dtype)
+        return jnp.concatenate([p, x], axis=1)
+
+    # Neutral early-time padding (processed after the real steps; outputs discarded):
+    # B = 0 makes Quu_reg = Cuu = I — always PD, never flags divergence.
+    eye_u = jnp.eye(du, dtype=dtype)
+    zx = jnp.zeros((dx,), dtype)
+    return PackedLQR(
+        cxx=_to_lanes(padT(cost.Cxx[:, :T], jnp.zeros((dx, dx), dtype)), n_pad),
+        cx=_to_lanes(padT(cost.cx[:, :T], zx), n_pad),
+        cuu=_to_lanes(padT(cost.Cuu[:, :T], eye_u), n_pad),
+        cu=_to_lanes(padT(cost.cu[:, :T], jnp.zeros((du,), dtype)), n_pad),
+        cxu=_to_lanes(padT(cost.Cxu[:, :T], jnp.zeros((dx, du), dtype)), n_pad),
+        A=_to_lanes(padT(A, jnp.zeros((dx, dx), dtype)), n_pad),
+        B=_to_lanes(padT(B, jnp.zeros((dx, du), dtype)), n_pad),
+        # terminal value triplet + per-instance λ
+        vT=_to_lanes(cost.Cxx[:, T][:, None], n_pad)[0],   # (dx*dx, nsub, LANES)
+        vvT=_to_lanes(cost.cx[:, T][:, None], n_pad)[0],   # (dx, nsub, LANES)
+        lam=_to_lanes(lmbda[:, None, None], n_pad)[0, 0],  # (nsub, LANES)
+    )
+
+
+def pallas_ilqr_backward_packed(
+    packed: PackedLQR,
+    dx: int,
+    du: int,
+    reg: int = 1,
+    *,
+    time_chunk: int = 4,
+    interpret: bool = False,
+) -> tuple[Array, Array, Array, Array]:
+    """Run the kernel on pre-packed lane-major operands, returning lane-major
+    outputs ``(K (t_pad, du*dx, nsub, LANES), kff (t_pad, du, nsub, LANES),
+    dV (2, nsub, LANES), bad (nsub, LANES))`` — no relayout on either side.
+    Unpack with :func:`unpack_lanes` (padding lanes replicate instance 0,
+    early-time padding rows precede the real steps)."""
+    return _call_packed(
+        packed, dx=dx, du=du, reg=reg, time_chunk=time_chunk, interpret=interpret
+    )
+
+
+def unpack_lanes(K, kff, dV, bad, N: int, T: int, dx: int, du: int):
+    """Lane-major kernel outputs → the batch-leading contract of
+    :func:`pallas_ilqr_backward`."""
+    pad_t = K.shape[0] - T
+    policy = LinearPolicy(
+        K=_from_lanes(K[pad_t:], N, (du, dx)), kff=_from_lanes(kff[pad_t:], N, (du,))
+    )
+    dV_out = jnp.transpose(dV.reshape(2, -1), (1, 0))[:N]
+    diverged = bad.reshape(-1)[:N] > 0
+    return policy, dV_out, diverged
+
+
 def _pallas_ilqr_backward(
     cost: QuadraticCost,
     A: Array,
@@ -332,41 +410,30 @@ def _pallas_ilqr_backward(
     """
     N, T = A.shape[0], A.shape[1]
     dx, du = A.shape[-1], B.shape[-1]
-    dtype = A.dtype
 
-    n_pad = max(LANES, -(-N // LANES) * LANES)
-    sub = min(8, n_pad // LANES)
-    # batch blocks must tile n_pad evenly
-    while (n_pad // LANES) % sub:
-        sub -= 1
-    nsub = n_pad // LANES
-    nb = nsub // sub
-
-    t_pad = -(-T // time_chunk) * time_chunk
-    pad_t = t_pad - T
-
-    def padT(x, neutral):
-        if pad_t == 0:
-            return x
-        p = jnp.broadcast_to(neutral, (x.shape[0], pad_t) + x.shape[2:]).astype(x.dtype)
-        return jnp.concatenate([p, x], axis=1)
-
-    # Neutral early-time padding (processed after the real steps; outputs discarded):
-    # B = 0 makes Quu_reg = Cuu = I — always PD, never flags divergence.
-    eye_u = jnp.eye(du, dtype=dtype)
-    zx = jnp.zeros((dx,), dtype)
-    ins = dict(
-        cxx=_to_lanes(padT(cost.Cxx[:, :T], jnp.zeros((dx, dx), dtype)), n_pad),
-        cx=_to_lanes(padT(cost.cx[:, :T], zx), n_pad),
-        cuu=_to_lanes(padT(cost.Cuu[:, :T], eye_u), n_pad),
-        cu=_to_lanes(padT(cost.cu[:, :T], jnp.zeros((du,), dtype)), n_pad),
-        cxu=_to_lanes(padT(cost.Cxu[:, :T], jnp.zeros((dx, du), dtype)), n_pad),
-        A=_to_lanes(padT(A, jnp.zeros((dx, dx), dtype)), n_pad),
-        B=_to_lanes(padT(B, jnp.zeros((dx, du), dtype)), n_pad),
+    packed = pack_lanes(cost, A, B, lmbda, time_chunk=time_chunk)
+    K, kff, dV, bad = _call_packed(
+        packed, dx=dx, du=du, reg=reg, time_chunk=time_chunk, interpret=interpret
     )
-    vT = _to_lanes(cost.Cxx[:, T][:, None], n_pad)[0]    # (dx*dx, nsub, LANES)
-    vvT = _to_lanes(cost.cx[:, T][:, None], n_pad)[0]    # (dx, nsub, LANES)
-    lam = _to_lanes(lmbda[:, None, None], n_pad)[0, 0]   # (nsub, LANES)
+    return unpack_lanes(K, kff, dV, bad, N, T, dx, du)
+
+
+def _call_packed(
+    packed: PackedLQR,
+    *,
+    dx: int,
+    du: int,
+    reg: int,
+    time_chunk: int,
+    interpret: bool,
+) -> tuple[Array, Array, Array, Array]:
+    t_pad, _, nsub, _ = packed["A"].shape
+    dtype = packed["A"].dtype
+    sub = min(8, nsub)
+    # batch blocks must tile the sublane stack evenly
+    while nsub % sub:
+        sub -= 1
+    nb = nsub // sub
 
     tc = t_pad // time_chunk
     grid = (nb, tc)
@@ -385,7 +452,7 @@ def _pallas_ilqr_backward(
 
     kernel = partial(_ilqr_kernel, dx=dx, du=du, reg=reg, time_chunk=time_chunk)
 
-    K, kff, dV, bad = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -411,13 +478,6 @@ def _pallas_ilqr_backward(
         ],
         interpret=interpret,
     )(
-        ins["cxx"], ins["cx"], ins["cuu"], ins["cu"], ins["cxu"], ins["A"], ins["B"],
-        vT, vvT, lam,
+        packed["cxx"], packed["cx"], packed["cuu"], packed["cu"], packed["cxu"],
+        packed["A"], packed["B"], packed["vT"], packed["vvT"], packed["lam"],
     )
-
-    policy = LinearPolicy(
-        K=_from_lanes(K[pad_t:], N, (du, dx)), kff=_from_lanes(kff[pad_t:], N, (du,))
-    )
-    dV_out = jnp.transpose(dV.reshape(2, -1), (1, 0))[:N]
-    diverged = bad.reshape(-1)[:N] > 0
-    return policy, dV_out, diverged
