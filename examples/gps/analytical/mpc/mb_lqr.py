@@ -4,7 +4,12 @@ The reference re-instantiates the SLSQP-driven solver at every control step;
 on a remote TPU every dual evaluation would be a host-device round trip, so
 this runs the whole receding-horizon loop as ONE compiled program
 (parallel/gps.make_gps_mpc_runner: log-alpha bisection dual, lax.scan over
-control steps)."""
+control steps).
+
+Retuned vs the reference script: kl_bound 5.0 -> 50.0 and nb_iter 5 -> 10,
+because the compiled bisection dual takes smaller, better-vetted steps per
+iteration than SLSQP and needs the looser per-step KL budget to make the same
+receding-horizon progress."""
 import sys, pathlib
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[4]))
 from examples._common import setup

@@ -3,7 +3,13 @@ examples/rgps/mb_lqr.py:44-111): train LRGPS with and without the adversary,
 compute the worst-case parameter attack on the STANDARD controller
 (mb_lqr.py:74-75), and compare both controllers' expected costs under the
 nominal and attacked dynamics — the robust controller should pay a small
-premium on the nominal model and win under attack."""
+premium on the nominal model and win under attack.
+
+Retuned vs the reference script: param_nominal_kl_bound 100 -> 400 and
+nb_iter 15 -> 25, because the jit-safe geometric-bisection duals accept more
+conservative adversary steps per outer iteration than the reference's scipy
+optimizers; the larger budget reproduces the reference's qualitative
+robust-vs-standard gap."""
 import sys, pathlib
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[2]))
 from examples._common import setup

@@ -352,6 +352,24 @@ def pack_lanes(
     )
 
 
+def lane_pad(N: int) -> int:
+    """Instance padding used by :func:`pack_lanes` for a batch of ``N``."""
+    return max(LANES, -(-N // LANES) * LANES)
+
+
+def pack_scalar(x: Array, n_pad: int) -> Array:
+    """Per-instance scalar ``(N,)`` → lane-major ``(nsub, LANES)`` (λ, masks…)."""
+    return _to_lanes(x[:, None, None], n_pad)[0, 0]
+
+
+def unpack_policy(K: Array, kff: Array, N: int, T: int, dx: int, du: int) -> LinearPolicy:
+    """Lane-major kernel gain outputs → batch-leading ``LinearPolicy``."""
+    pad_t = K.shape[0] - T
+    return LinearPolicy(
+        K=_from_lanes(K[pad_t:], N, (du, dx)), kff=_from_lanes(kff[pad_t:], N, (du,))
+    )
+
+
 def pallas_ilqr_backward_packed(
     packed: PackedLQR,
     dx: int,

@@ -199,9 +199,10 @@ def pilqr_backward(
 # combine becomes unrolled scalar recurrences over fully-occupied tiles — the same
 # trick as core/pallas_lqr.py, but in plain XLA because ``lax.associative_scan``
 # already provides the O(log T) schedule.  The (I + C₁J₂)⁻¹ solve becomes an
-# unrolled Gauss–Jordan elimination (no pivoting; the matrix is similar to
-# I + PSD·PSD with eigenvalues ≥ 1, and the pivoted jnp.linalg path above remains
-# the reference implementation the tests compare against).
+# unrolled Gauss–Jordan elimination with per-lane partial pivoting (eigenvalues ≥ 1
+# of I + C₁J₂ do NOT keep the leading principal minors away from zero, so pivoting
+# is required; the jnp.linalg path above remains the reference the tests compare
+# against).
 
 
 class LaneElement(NamedTuple):
@@ -245,13 +246,30 @@ def _lt(A):
 
 
 def _gj_inv(A):
-    """Unrolled Gauss–Jordan inverse (no pivoting) of a small matrix per lane."""
+    """Unrolled Gauss–Jordan inverse with partial pivoting of a small matrix per lane.
+
+    Eigenvalue bounds on ``I + C1·J2`` (all ≥ 1) do NOT bound its leading principal
+    minors, so a pivot-free elimination can pass arbitrarily close to zero for valid
+    PSD inputs.  Each step therefore compare-swaps the current pivot row against the
+    remaining rows per lane (running-max == partial pivoting), unrolled into
+    straight-line ``jnp.where`` selects — cheap for the dx ≤ 8 blocks this serves.
+    """
     n = len(A)
     M = [row[:] for row in A]
     one = jnp.ones_like(A[0][0])
     zero = jnp.zeros_like(A[0][0])
     I = [[one if i == j else zero for j in range(n)] for i in range(n)]
     for k in range(n):
+        # partial pivoting: bubble the largest |column-k| entry into row k per lane
+        for i in range(k + 1, n):
+            swap = jnp.abs(M[i][k]) > jnp.abs(M[k][k])
+            for j in range(n):
+                mk, mi = M[k][j], M[i][j]
+                M[k][j] = jnp.where(swap, mi, mk)
+                M[i][j] = jnp.where(swap, mk, mi)
+                ik, ii = I[k][j], I[i][j]
+                I[k][j] = jnp.where(swap, ii, ik)
+                I[i][j] = jnp.where(swap, ik, ii)
         piv = 1.0 / M[k][k]
         M[k] = [e * piv for e in M[k]]
         I[k] = [e * piv for e in I[k]]

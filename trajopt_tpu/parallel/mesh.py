@@ -24,13 +24,31 @@ def init_multihost(**kwargs) -> None:
     No-op when running single-process (the common single-host case), so callers
     can invoke it unconditionally.  kwargs pass through (coordinator_address,
     num_processes, process_id) for environments without automatic detection.
+
+    A failed init is only swallowed when nothing requested a distributed run —
+    no explicit kwargs and no coordinator env vars.  A genuinely misconfigured
+    multi-host launch (bad coordinator address, wrong num_processes) re-raises
+    instead of silently degrading to a single-process mesh.
     """
+    import os
+
     import jax
 
+    requested = bool(kwargs) or any(
+        os.environ.get(v)
+        for v in (
+            "JAX_COORDINATOR_ADDRESS",
+            "COORDINATOR_ADDRESS",
+            "JAX_NUM_PROCESSES",
+            "MEGASCALE_COORDINATOR_ADDRESS",
+        )
+    )
     try:
         jax.distributed.initialize(**kwargs)
-    except (ValueError, RuntimeError):
-        # single-process, no coordinator configured, or already initialized —
+    except (ValueError, RuntimeError) as e:
+        if requested and "already initialized" not in str(e):
+            raise
+        # single-process with no coordinator configured, or already initialized —
         # proceed with the local backend
         pass
 

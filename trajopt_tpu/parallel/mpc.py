@@ -218,13 +218,70 @@ def make_ilqr_solver_batched(
         return A, B, cost
 
     if backward == "pallas":
-        from ..core.pallas_lqr import pallas_ilqr_backward
+        from ..core.pallas_lqr import (
+            lane_pad,
+            pack_lanes,
+            pack_scalar,
+            pallas_ilqr_backward_packed,
+            unpack_policy,
+        )
 
-        def bwd(cost, A, B, lam):
-            pol, dV, div = pallas_ilqr_backward(
-                cost, A, B, lam, reg, time_chunk=time_chunk
+        def backward_with_lm(cost, A, B, lmbda0, dlmbda0, frozen):
+            """Packed-operand λ-escalation loop: the cost/dynamics stacks are
+            relayouted into the kernel's native lane-major layout ONCE per outer
+            iteration (pack_lanes fuses into the linearization producers under
+            jit), the loop carry stays lane-major, and the gains are unpacked a
+            single time after the loop — no per-λ-trip relayout (the 54%-of-device
+            -time XLA data formatting measured via xprof, CLAUDE.md)."""
+            N = lmbda0.shape[0]
+            dx, du = A.shape[-1], B.shape[-1]
+            n_pad = lane_pad(N)
+            packed = pack_lanes(cost, A, B, lmbda0, time_chunk=time_chunk)
+
+            def bwd_packed(lmbda):
+                pk = dict(packed)
+                pk["lam"] = pack_scalar(lmbda, n_pad)
+                Kl, kffl, dVl, badl = pallas_ilqr_backward_packed(
+                    pk, dx, du, reg, time_chunk=time_chunk
+                )
+                dV = jnp.transpose(dVl.reshape(2, -1))[:N]
+                div = badl.reshape(-1)[:N] > 0
+                return Kl, kffl, dV, div
+
+            def active_of(lmbda, diverged, first):
+                return (first | diverged) & (lmbda <= max_lmbda) & ~frozen
+
+            def cond(carry):
+                _, lmbda, _, diverged, first = carry
+                return jnp.any(active_of(lmbda, diverged, first))
+
+            def body(carry):
+                (Kl, kffl, dV), lmbda, dlmbda, diverged, first = carry
+                active = active_of(lmbda, diverged, first)
+                Kn, kffn, dVn, divn = bwd_packed(lmbda)
+                lane_act = pack_scalar(active.astype(Kl.dtype), n_pad) > 0
+                Kl = jnp.where(lane_act[None, None], Kn, Kl)
+                kffl = jnp.where(lane_act[None, None], kffn, kffl)
+                dV = jnp.where(active[:, None], dVn, dV)
+                new_div = jnp.where(active, divn, diverged)
+                esc = active & divn
+                dlmbda_n = jnp.where(
+                    esc, jnp.maximum(dlmbda * mult_lmbda, mult_lmbda), dlmbda
+                )
+                lmbda_n = jnp.where(
+                    esc, jnp.maximum(lmbda * dlmbda_n, min_lmbda), lmbda
+                )
+                return (Kl, kffl, dV), lmbda_n, dlmbda_n, new_div, jnp.zeros_like(first)
+
+            K0, kff0, dV0, _ = bwd_packed(lmbda0)
+            init = ((K0, kff0, dV0), lmbda0, dlmbda0,
+                    jnp.zeros(N, bool), jnp.ones(N, bool))
+            (Kl, kffl, dV), lmbda, dlmbda, diverged, _ = lax.while_loop(
+                cond, body, init
             )
-            return pol.K, pol.kff, dV, div
+            pol = unpack_policy(Kl, kffl, N, T, dx, du)
+            return (pol.K, pol.kff, dV), lmbda, dlmbda, diverged
+
     elif backward == "scan":
 
         def bwd(cost, A, B, lam):
@@ -233,41 +290,41 @@ def make_ilqr_solver_batched(
                 return pol.K, pol.kff, dV, div
 
             return jax.vmap(one)(cost, A, B, lam)
+
+        def backward_with_lm(cost, A, B, lmbda0, dlmbda0, frozen):
+            """Global λ-escalation loop with per-instance masking (cf. ilqr.py:160-173)."""
+
+            def active_of(lmbda, diverged, first):
+                return (first | diverged) & (lmbda <= max_lmbda) & ~frozen
+
+            def cond(carry):
+                _, lmbda, _, diverged, first = carry
+                return jnp.any(active_of(lmbda, diverged, first))
+
+            def body(carry):
+                (K, kff, dV), lmbda, dlmbda, diverged, first = carry
+                active = active_of(lmbda, diverged, first)
+                Kn, kffn, dVn, divn = bwd(cost, A, B, lmbda)
+                sel = lambda m, a, b: jnp.where(
+                    m.reshape((-1,) + (1,) * (a.ndim - 1)), a, b
+                )
+                K = sel(active, Kn, K)
+                kff = sel(active, kffn, kff)
+                dV = sel(active, dVn, dV)
+                new_div = jnp.where(active, divn, diverged)
+                esc = active & divn
+                dlmbda_n = jnp.where(esc, jnp.maximum(dlmbda * mult_lmbda, mult_lmbda), dlmbda)
+                lmbda_n = jnp.where(esc, jnp.maximum(lmbda * dlmbda_n, min_lmbda), lmbda)
+                return (K, kff, dV), lmbda_n, dlmbda_n, new_div, jnp.zeros_like(first)
+
+            N = lmbda0.shape[0]
+            K0, kff0, dV0, div0 = bwd(cost, A, B, lmbda0)
+            first0 = jnp.ones(N, bool)
+            init = ((K0, kff0, dV0), lmbda0, dlmbda0, jnp.zeros(N, bool), first0)
+            (out, lmbda, dlmbda, diverged, _) = lax.while_loop(cond, body, init)
+            return out, lmbda, dlmbda, diverged
     else:
         raise ValueError(f"unknown backward impl {backward!r}")
-
-    def backward_with_lm(cost, A, B, lmbda0, dlmbda0, frozen):
-        """Global λ-escalation loop with per-instance masking (cf. ilqr.py:160-173)."""
-
-        def active_of(lmbda, diverged, first):
-            return (first | diverged) & (lmbda <= max_lmbda) & ~frozen
-
-        def cond(carry):
-            _, lmbda, _, diverged, first = carry
-            return jnp.any(active_of(lmbda, diverged, first))
-
-        def body(carry):
-            (K, kff, dV), lmbda, dlmbda, diverged, first = carry
-            active = active_of(lmbda, diverged, first)
-            Kn, kffn, dVn, divn = bwd(cost, A, B, lmbda)
-            sel = lambda m, a, b: jnp.where(
-                m.reshape((-1,) + (1,) * (a.ndim - 1)), a, b
-            )
-            K = sel(active, Kn, K)
-            kff = sel(active, kffn, kff)
-            dV = sel(active, dVn, dV)
-            new_div = jnp.where(active, divn, diverged)
-            esc = active & divn
-            dlmbda_n = jnp.where(esc, jnp.maximum(dlmbda * mult_lmbda, mult_lmbda), dlmbda)
-            lmbda_n = jnp.where(esc, jnp.maximum(lmbda * dlmbda_n, min_lmbda), lmbda)
-            return (K, kff, dV), lmbda_n, dlmbda_n, new_div, jnp.zeros_like(first)
-
-        N = lmbda0.shape[0]
-        K0, kff0, dV0, div0 = bwd(cost, A, B, lmbda0)
-        first0 = jnp.ones(N, bool)
-        init = ((K0, kff0, dV0), lmbda0, dlmbda0, jnp.zeros(N, bool), first0)
-        (out, lmbda, dlmbda, diverged, _) = lax.while_loop(cond, body, init)
-        return out, lmbda, dlmbda, diverged
 
     def forward_all(K, kff, xref, uref):
         def one(K1, kff1, xr, ur):
