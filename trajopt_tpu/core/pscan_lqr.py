@@ -370,6 +370,66 @@ def pilqr_backward_lanes(
 # Horizon sharding across devices
 # --------------------------------------------------------------------------------------
 
+
+def _identity_element(dx: int, dtype) -> RiccatiElement:
+    """The neutral element of :func:`combine` (A = I, everything else 0)."""
+    return RiccatiElement(
+        A=jnp.eye(dx, dtype=dtype),
+        b=jnp.zeros(dx, dtype),
+        C=jnp.zeros((dx, dx), dtype),
+        eta=jnp.zeros(dx, dtype),
+        J=jnp.zeros((dx, dx), dtype),
+    )
+
+
+def _suffix_tail_ppermute(
+    total: RiccatiElement, axis_name: str, n_dev: int, dx: int, dtype
+) -> RiccatiElement:
+    """Exclusive suffix composition of the per-device block composites via a
+    log-depth doubling ladder of ``ppermute`` neighbor exchanges.
+
+    Device i holds its block composite c_i and needs tail_i = c_{i+1} ⊗ … ⊗ c_{N−1}.
+    Each ladder step moves one element a distance ``d`` down the axis and doubles
+    the span: S_i ← S_i ⊗ S_{i+d} (receive-from-the-right), so after ⌈log₂ N⌉
+    steps S_i is the inclusive suffix; one final distance-1 shift makes it
+    exclusive.  Communication is O(1) elements per device per step (⌈log₂ N⌉ + 1
+    ``ppermute``s total) and the fold work is distributed — replacing the
+    round-1 ``all_gather`` + per-device O(N) refold, whose communication and
+    compute both scaled linearly with the mesh size.
+    """
+    idx = jax.lax.axis_index(axis_name)
+    ident = _identity_element(dx, dtype)
+    S = total
+    d = 1
+    while d < n_dev:
+        recv = jax.tree_util.tree_map(
+            lambda x: jax.lax.ppermute(
+                x, axis_name, [(j, j - d) for j in range(d, n_dev)]
+            ),
+            S,
+        )
+        # devices i ≥ N − d receive zeros (no source) — their span already
+        # reaches the end, so keep S unchanged there
+        merged = combine(S, recv)
+        S = jax.tree_util.tree_map(
+            lambda m, s: jnp.where(idx < n_dev - d, m, s), merged, S
+        )
+        d *= 2
+    tail = jax.tree_util.tree_map(
+        lambda x: jax.lax.ppermute(
+            x, axis_name, [(j, j - 1) for j in range(1, n_dev)]
+        ),
+        S,
+    )
+    # the last device's tail is the identity (nothing after it)
+    return jax.tree_util.tree_map(
+        lambda t, i: jnp.where(
+            idx < n_dev - 1, t, jax.lax.pcast(i, axis_name, to="varying")
+        ),
+        tail, ident,
+    )
+
+
 def sharded_backward(
     cost: QuadraticCost,
     dyn: LinearDynamics,
@@ -379,31 +439,37 @@ def sharded_backward(
     """Horizon-block-sharded parallel Riccati (absolute convention).
 
     Each device runs the suffix scan on its local block of elements; the per-block
-    composite elements (one small (A, b, C, η, J) tuple per block) are exchanged with
-    a single ``all_gather`` over the mesh axis — the collective-halo design from
-    SURVEY.md §2.4 — and each local suffix is completed by folding in the composition
-    of all later blocks.  Returns the same (policy, value) as
-    :func:`priccati_backward`.
+    composite elements (one small (A, b, C, η, J) tuple per device) are then
+    combined across the mesh axis with a log-depth ``ppermute`` doubling ladder
+    (:func:`_suffix_tail_ppermute`) — O(1) halo traffic per device per level, fold
+    distributed — and each local suffix is completed by composing with its tail.
+    Returns the same (policy, value) as :func:`priccati_backward`.
     """
-    from jax import shard_map
-    from jax.sharding import PartitionSpec as P
-
     T = dyn.horizon
-    dx = dyn.A.shape[-1]
-    n_dev = mesh.shape[axis_name]
-
     Q, q = 2.0 * cost.Cxx[:T], cost.cx[:T]
     R, r = 2.0 * cost.Cuu[:T], cost.cu[:T]
     M = 2.0 * cost.Cxu[:T]
     els = make_elements(Q, q, R, r, M, dyn.A, dyn.B, dyn.c,
                         2.0 * cost.Cxx[T], cost.cx[T])
 
-    # pad T+1 elements with composition identities to a multiple of the axis size
-    n_tot = T + 1
-    pad = (-n_tot) % n_dev
-    eye = jnp.broadcast_to(jnp.eye(dx, dtype=dyn.A.dtype), (pad, dx, dx))
-    zeros_m = jnp.zeros((pad, dx, dx), dyn.A.dtype)
-    zeros_v = jnp.zeros((pad, dx), dyn.A.dtype)
+    S, s = _sharded_suffix(els, mesh, axis_name, T, dyn.A.shape[-1], dyn.A.dtype)
+    K, kff = jax.vmap(_gains)(Q, R, r, M, dyn.A, dyn.B, dyn.c, S[1:], s[1:])
+    value = QuadraticValue(V=0.5 * S, v=s, v0=jnp.zeros(T + 1, S.dtype))
+    return LinearPolicy(K=K, kff=kff), value
+
+
+def _sharded_suffix(els: RiccatiElement, mesh, axis_name, T, dx, dtype):
+    """Shared machinery of the sharded backward passes: pad the T+1 elements to
+    the axis size, run per-device local suffix scans, exchange block composites
+    with the ppermute ladder, and return the value planes (S, s)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = mesh.shape[axis_name]
+    pad = (-(T + 1)) % n_dev
+    eye = jnp.broadcast_to(jnp.eye(dx, dtype=dtype), (pad, dx, dx))
+    zeros_m = jnp.zeros((pad, dx, dx), dtype)
+    zeros_v = jnp.zeros((pad, dx), dtype)
     identity = RiccatiElement(A=eye, b=zeros_v, C=zeros_m, eta=zeros_v, J=zeros_m)
     els = jax.tree_util.tree_map(
         lambda a, b: jnp.concatenate([a, b], axis=0), els, identity
@@ -412,44 +478,9 @@ def sharded_backward(
     def local_block(block: RiccatiElement) -> RiccatiElement:
         # local suffix scan within this device's time block
         local = lax.associative_scan(lambda x, y: combine(y, x), block, reverse=True)
-        total = jax.tree_util.tree_map(lambda x: x[:1], local)  # block composite
+        total = jax.tree_util.tree_map(lambda x: x[0], local)  # block composite
 
-        # exchange block composites: (n_dev, 1, ...) per leaf
-        gathered = jax.lax.all_gather(total, axis_name)
-        gathered = jax.tree_util.tree_map(lambda x: x[:, 0], gathered)
-
-        # composition of all *later* blocks, computed redundantly per device
-        idx = jax.lax.axis_index(axis_name)
-
-        def fold(i, acc):
-            e_i = jax.tree_util.tree_map(lambda x: x[i], gathered)
-            new = combine(
-                jax.tree_util.tree_map(lambda x: x[None], e_i),
-                jax.tree_util.tree_map(lambda x: x[None], acc),
-            )
-            new = jax.tree_util.tree_map(lambda x: x[0], new)
-            return jax.tree_util.tree_map(
-                lambda n, a: jnp.where(i > idx, n, a), new, acc
-            )
-
-        id_el = RiccatiElement(
-            A=jnp.eye(dx, dtype=dyn.A.dtype),
-            b=jnp.zeros(dx, dyn.A.dtype),
-            C=jnp.zeros((dx, dx), dyn.A.dtype),
-            eta=jnp.zeros(dx, dyn.A.dtype),
-            J=jnp.zeros((dx, dx), dyn.A.dtype),
-        )
-        # mark the loop carry as device-varying (it mixes with axis_index-dependent
-        # selections inside the fold)
-        id_el = jax.tree_util.tree_map(
-            lambda x: jax.lax.pvary(x, (axis_name,)), id_el
-        )
-        # fold from the last block down to idx+1
-        tail = lax.fori_loop(
-            0, n_dev,
-            lambda k, acc: fold(n_dev - 1 - k, acc),
-            id_el,
-        )
+        tail = _suffix_tail_ppermute(total, axis_name, n_dev, dx, dtype)
         tail_b = jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x, (local.A.shape[0],) + x.shape), tail
         )
@@ -461,9 +492,67 @@ def sharded_backward(
     suf = shard_map(
         local_block, mesh=mesh, in_specs=(spec,), out_specs=spec
     )(els)
+    return suf.J[: T + 1], -suf.eta[: T + 1]
 
-    S = suf.J[: T + 1]
-    s = -suf.eta[: T + 1]
-    K, kff = jax.vmap(_gains)(Q, R, r, M, dyn.A, dyn.B, dyn.c, S[1:], s[1:])
-    value = QuadraticValue(V=0.5 * S, v=s, v0=jnp.zeros(T + 1, S.dtype))
-    return LinearPolicy(K=K, kff=kff), value
+
+def sharded_ilqr_backward(
+    cost: QuadraticCost,
+    A: Array,
+    B: Array,
+    mesh,
+    axis_name: str = "time",
+    lmbda: Array | float = 0.0,
+) -> tuple[LinearPolicy, QuadraticValue, Array, Array]:
+    """Horizon-sharded parallel iLQR backward pass (delta convention).
+
+    Levenberg–Marquardt semantics: λ is folded into the action Hessian
+    (``Cuu + λI``), i.e. the pass solves the λ-regularized *problem* exactly —
+    identical to ilqr/src/util.cpp:83-182 at λ = 0, a well-defined proximal
+    variant for λ > 0 (the C++ recursion regularizes only the gain solve and is
+    inherently sequential; see the module docstring).  Returns
+    (policy, value, dV, diverged) — diverged is a NaN/Inf flag on the gains, the
+    associative-scan analogue of the sequential Cholesky-failure flag.
+    """
+    T = A.shape[0]
+    dx, du = A.shape[-1], B.shape[-1]
+    c = jnp.zeros((T, dx), A.dtype)
+    lam_eye = lmbda * jnp.eye(du, dtype=A.dtype)
+    Q, q = cost.Cxx[:T], cost.cx[:T]
+    R = cost.Cuu[:T] + lam_eye
+    r = cost.cu[:T]
+    M = cost.Cxu[:T]
+
+    els = make_elements(Q, q, R, r, M, A, B, c, cost.Cxx[T], cost.cx[T])
+    S, s = _sharded_suffix(els, mesh, axis_name, T, dx, A.dtype)
+    K, kff = jax.vmap(_gains)(Q, R, r, M, A, B, c, S[1:], s[1:])
+
+    def dv_t(kff_t, R_t, r_t, B_t, S_n, s_n):
+        Quu = R_t + B_t.T @ S_n @ B_t
+        qu = r_t + B_t.T @ s_n
+        return jnp.stack([kff_t @ qu, 0.5 * kff_t @ Quu @ kff_t])
+
+    dV = jnp.sum(jax.vmap(dv_t)(kff, R, r, B, S[1:], s[1:]), axis=0)
+    diverged = ~(
+        jnp.all(jnp.isfinite(K)) & jnp.all(jnp.isfinite(kff)) & jnp.all(jnp.isfinite(S))
+    )
+    value = QuadraticValue(V=S, v=s, v0=jnp.zeros(T + 1, S.dtype))
+    return LinearPolicy(K=K, kff=kff), value, dV, diverged
+
+
+def pilqr_backward_reg(
+    cost: QuadraticCost, A: Array, B: Array, lmbda: Array | float = 0.0
+) -> tuple[LinearPolicy, QuadraticValue, Array, Array]:
+    """Single-device lane-major parallel iLQR backward with the same λ-folded
+    semantics as :func:`sharded_ilqr_backward` (λ into Cuu) — the host-local
+    reference for the sharded path and the ``backward='pscan'`` solver engine."""
+    du = B.shape[-1]
+    lam_eye = lmbda * jnp.eye(du, dtype=A.dtype)
+    ctl, value, dV = pilqr_backward_lanes(
+        cost._replace(Cuu=cost.Cuu + lam_eye), A, B
+    )
+    diverged = ~(
+        jnp.all(jnp.isfinite(ctl.K))
+        & jnp.all(jnp.isfinite(ctl.kff))
+        & jnp.all(jnp.isfinite(value.V))
+    )
+    return ctl, value, dV, diverged

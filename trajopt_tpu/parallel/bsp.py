@@ -54,10 +54,24 @@ def make_bsp_solver(
     tolgrad: float = 1e-6,
     min_imp: float = 0.0,
     reg: int = 1,
+    value_form: str = "dense",
 ):
     """Build ``solve(mu0, sigma0, kff_init) -> (state, trace)`` — the BSP-iLQR
     outer loop (bspilqr/bspilqr.py:126-224) as pure ``lax`` control flow, with the
-    same λ/α/termination semantics as the host class."""
+    same λ/α/termination semantics as the host class.
+
+    ``value_form`` selects the (S, s, τ) backward recursion: ``"dense"`` mirrors
+    bspilqr/src/util.cpp:146-189; ``"sqrt"`` carries the value Hessian as its
+    Cholesky factor through QR array updates (core/belief.bsp_backward_sqrt) —
+    PSD by construction, the principled f32 form, pairing with
+    ``belief_filter="sqrt"`` in :func:`make_bsp_mpc_runner` for a square-root
+    end-to-end belief pipeline."""
+    if value_form == "sqrt":
+        from ..core.belief import bsp_backward_sqrt as backward_fn
+    elif value_form == "dense":
+        backward_fn = bsp_backward
+    else:
+        raise ValueError(f"unknown value_form {value_form!r}")
     alphas = jnp.asarray(alphas)
     T = nb_steps
     db, du = env.belief_dim, env.act_dim
@@ -98,7 +112,7 @@ def make_bsp_solver(
 
         def body(carry):
             _, lmbda, dlmbda, _, _ = carry
-            out = bsp_backward(cost, dyn, lmbda, reg)
+            out = backward_fn(cost, dyn, lmbda, reg)
             new_div = out[5]
             dlmbda_n = jnp.where(
                 new_div, jnp.maximum(dlmbda * mult_lmbda, mult_lmbda), dlmbda
@@ -108,7 +122,7 @@ def make_bsp_solver(
             )
             return out, lmbda_n, dlmbda_n, new_div, jnp.asarray(False)
 
-        dummy = bsp_backward(cost, dyn, lmbda0, reg)
+        dummy = backward_fn(cost, dyn, lmbda0, reg)
         init = (dummy, lmbda0, dlmbda0, jnp.asarray(False), jnp.asarray(True))
         out, lmbda, dlmbda, diverged, _ = lax.while_loop(cond, body, init)
         return out, lmbda, dlmbda, diverged

@@ -340,7 +340,13 @@ def make_mbgps_solver_batched(
     LOG_LO, LOG_HI = -16.0, 16.0
 
     if engine == "pallas":
-        from ..core.pallas_gps import pallas_gps_backward, pallas_gps_forward_kl
+        from ..core.pallas_gps import (
+            pack_gps_alpha,
+            pack_gps_lanes,
+            pallas_gps_backward_packed,
+            pallas_gps_forward_kl_packed,
+            unpack_gps_scalar,
+        )
 
     def propagate(ctl, mu0, sigma0):
         xdist, udist, lgd = extended_kalman(env, ctl, mu0, sigma0)
@@ -360,14 +366,6 @@ def make_mbgps_solver_batched(
     def kl_batch(log_alpha, cost_b, dyn_b, ctl_b, mu0s, sigma0s):
         """Σ_t KL and divergence for all instances at per-instance duals."""
         alpha = (10.0 ** log_alpha)[:, None] * jnp.ones((1, T), log_alpha.dtype)
-        if engine == "pallas":
-            lgc, _, _, _, div = pallas_gps_backward(
-                cost_b, dyn_b, ctl_b, alpha, time_chunk=time_chunk
-            )
-            kl, _, _ = pallas_gps_forward_kl(
-                dyn_b, lgc, ctl_b, mu0s, sigma0s, time_chunk=time_chunk
-            )
-            return kl, div
 
         def one(c, d, o, a, m0, s0):
             ag = augment_cost_kl(c, o, a)
@@ -381,10 +379,34 @@ def make_mbgps_solver_batched(
         N = mu0s.shape[0]
         dt = mu0s.dtype
 
+        if engine == "pallas":
+            # pack the linearization ONCE per bisection; each of the
+            # ``bisect_iters`` evaluations is two Pallas launches on native
+            # lane-major operands, repacking only the tiny α planes — no
+            # per-evaluation relayout of the cost/dynamics/policy stacks
+            packed = pack_gps_lanes(
+                cost_b, dyn_b, ctl_b, mu0s, sigma0s, time_chunk=time_chunk
+            )
+
+            def kl_packed(log_alpha):
+                alpha = (10.0 ** log_alpha)[:, None] * jnp.ones((1, T), dt)
+                alpha_l = pack_gps_alpha(alpha, time_chunk=time_chunk)
+                K_l, kff_l, sigc_l, _, _, _, bad = pallas_gps_backward_packed(
+                    packed, alpha_l, dx, du, time_chunk=time_chunk
+                )
+                kl_l, _, _ = pallas_gps_forward_kl_packed(
+                    packed, K_l, kff_l, sigc_l, dx, du, time_chunk=time_chunk
+                )
+                return unpack_gps_scalar(kl_l, N), unpack_gps_scalar(bad, N) > 0
+
+            kl_of = kl_packed
+        else:
+            kl_of = lambda mid: kl_batch(mid, cost_b, dyn_b, ctl_b, mu0s, sigma0s)
+
         def body(carry, _):
             lo, hi = carry
             mid = 0.5 * (lo + hi)
-            kl, div = kl_batch(mid, cost_b, dyn_b, ctl_b, mu0s, sigma0s)
+            kl, div = kl_of(mid)
             too_small = div | (kl > bound)
             return (jnp.where(too_small, mid, lo), jnp.where(too_small, hi, mid)), None
 

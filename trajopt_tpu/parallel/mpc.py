@@ -51,6 +51,9 @@ def make_ilqr_solver(
     tolgrad: float = 1e-4,
     min_imp: float = 0.0,
     reg: int = 1,
+    backward: str = "scan",
+    time_mesh=None,
+    time_axis: str = "time",
 ):
     """Build ``solve(x0, uref_init) -> (state, actions, return)`` — the iLQR outer
     loop of ilqr/ilqr.py:136-237 as pure ``lax`` control flow.
@@ -58,6 +61,17 @@ def make_ilqr_solver(
     Semantics preserved: λ escalation with bail-out above ``max_lmbda``, first-accept
     backtracking over the α-grid (evaluated in parallel), gradient-norm + tolfun
     termination, λ-zeroing below ``min_lmbda``.
+
+    Backward engines:
+      * ``backward='scan'`` (default) — sequential ``lax.scan`` Riccati with the
+        reference's exact reg ∈ {1, 2} LM recursion.
+      * ``backward='pscan'`` — lane-major ``lax.associative_scan`` parallel-in-time
+        Riccati (core/pscan_lqr.py); λ is folded into the action Hessian (exact at
+        λ = 0, proximal variant for λ > 0; ``reg`` is ignored).
+      * ``time_mesh=Mesh(..., (time_axis,))`` — the same parallel-in-time pass with
+        the horizon block-sharded across the mesh axis and the block composites
+        exchanged via a log-depth ``ppermute`` ladder (SURVEY.md §2.4's
+        sequence-parallel axis, through the public solver API).
     """
     weighting = make_weighting(nb_steps, activation)
     alphas = jnp.asarray(alphas)
@@ -67,6 +81,27 @@ def make_ilqr_solver(
         A, B = linearize_dynamics_delta(env.dynamics, xref[:T], uref)
         cost = quadratize_cost_delta(env.cost, xref, uref, weighting)
         return A, B, cost
+
+    if time_mesh is not None:
+        from ..core.pscan_lqr import sharded_ilqr_backward
+
+        def bwd(cost, A, B, lmbda):
+            ctl, value, dV, div = sharded_ilqr_backward(
+                cost, A, B, time_mesh, time_axis, lmbda
+            )
+            return ctl, value, None, dV, div
+    elif backward == "pscan":
+        from ..core.pscan_lqr import pilqr_backward_reg
+
+        def bwd(cost, A, B, lmbda):
+            ctl, value, dV, div = pilqr_backward_reg(cost, A, B, lmbda)
+            return ctl, value, None, dV, div
+    elif backward == "scan":
+
+        def bwd(cost, A, B, lmbda):
+            return ilqr_backward(cost, A, B, lmbda, reg)
+    else:
+        raise ValueError(f"unknown backward impl {backward!r}")
 
     def forward_all(K, kff, xref, uref):
         ctl = LinearPolicy(K=K, kff=kff)
@@ -83,14 +118,14 @@ def make_ilqr_solver(
 
         def body(carry):
             _, lmbda, dlmbda, diverged, first = carry
-            out = ilqr_backward(cost, A, B, lmbda, reg)
+            out = bwd(cost, A, B, lmbda)
             new_div = out[4]
             # on divergence, escalate λ for the next trip
             dlmbda_n = jnp.where(new_div, jnp.maximum(dlmbda * mult_lmbda, mult_lmbda), dlmbda)
             lmbda_n = jnp.where(new_div, jnp.maximum(lmbda * dlmbda_n, min_lmbda), lmbda)
             return out, lmbda_n, dlmbda_n, new_div, jnp.asarray(False)
 
-        dummy = ilqr_backward(cost, A, B, lmbda0, reg)
+        dummy = bwd(cost, A, B, lmbda0)
         init = (dummy, lmbda0, dlmbda0, jnp.asarray(False), jnp.asarray(True))
         out, lmbda, dlmbda, diverged, _ = lax.while_loop(cond, body, init)
         return out, lmbda, dlmbda, diverged

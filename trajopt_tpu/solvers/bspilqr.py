@@ -126,6 +126,14 @@ class BSPiLQR:
         return cost, dyn
 
     # ------------------------------------------------------------------ main loop
+    def plot(self, show: bool = True):
+        """Belief trajectory with ±2σ bands (bspilqr/bspilqr.py:106-125)."""
+        from ..utils.viz import plot_belief_trajectory
+
+        return plot_belief_trajectory(
+            self.bref_mu, self.bref_sigma, self.uref, show=show
+        )
+
     def run(self, nb_iter: int = 25, verbose: bool = False) -> list[float]:
         trace = []
 

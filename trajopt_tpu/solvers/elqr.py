@@ -213,6 +213,12 @@ class eLQR:
         return elqr_backward_lqr(self.env, state, ictl, comeV, comev, comev0)
 
     # ------------------------------------------------------------------ main loop
+    def plot(self, show: bool = True):
+        """Reference-trajectory plot (elqr/elqr.py:162)."""
+        from ..utils.viz import plot_reference_trajectory
+
+        return plot_reference_trajectory(self.xref, self.uref, show=show)
+
     def run(self, nb_iter: int = 10, verbose: bool = False) -> list[float]:
         trace = []
 

@@ -176,6 +176,15 @@ class MBGPS:
         return policy_kl(lgc, self.ctl, xdist)
 
     # ------------------------------------------------------------------ main loop
+    def plot(self, show: bool = True):
+        """State/action marginals with ±2σ bands (gps/mbgps.py:203-224)."""
+        from ..utils.viz import plot_gaussian_trajectory
+
+        return plot_gaussian_trajectory(self.xdist, self.udist, show=show)
+
+    # reference alias (mfgps.py:190, rgps/*.plot_distributions)
+    plot_distributions = plot
+
     def run(self, nb_iter: int = 10, verbose: bool = False) -> list[float]:
         trace = []
 

@@ -124,6 +124,12 @@ class iLQR:
         A, B, cost = self._expand(self.xref, self.uref)
         return self._backward(cost, A, B, self.lmbda)
 
+    def plot(self, show: bool = True):
+        """Reference-trajectory plot (ilqr/ilqr.py:119-134)."""
+        from ..utils.viz import plot_reference_trajectory
+
+        return plot_reference_trajectory(self.xref, self.uref, show=show)
+
     def run(self, nb_iter: int = 25, verbose: bool = False) -> list[float]:
         trace = []
 

@@ -401,6 +401,34 @@ class _RGPSBase:
         )
 
 
+    def plot_distributions(self, xdist=None, udist=None, show: bool = True):
+        """State/action marginal bands (rgps/mbrgps.py:704, lrgps.py:689)."""
+        from ..utils.viz import plot_gaussian_trajectory
+
+        return plot_gaussian_trajectory(
+            self.xdist if xdist is None else xdist,
+            self.udist if udist is None else udist,
+            show=show,
+        )
+
+    def plot_parameters(self, t: int, axs=None, color: str = "b",
+                        show: bool = True):
+        """Adversary MatrixNormal marginals at step t (rgps/objects.py:63-75)."""
+        from ..utils.viz import plot_matrixnormal_marginals
+
+        return plot_matrixnormal_marginals(self.param, t, axs=axs, color=color,
+                                           show=show)
+
+    @staticmethod
+    def plot_dual(dual_fun, opt=None, elow: float = 0.0, ehigh: float = 8.0,
+                  logax: bool = True, show: bool = True):
+        """Dual landscape debugger (rgps/mfrgps.py:704-736)."""
+        from ..utils.viz import plot_dual_landscape
+
+        return plot_dual_landscape(dual_fun, opt=opt, elow=elow, ehigh=ehigh,
+                                   logax=logax, show=show)
+
+
 class MBRGPS(_RGPSBase):
     """Model-based RGPS: nominal relinearized along the EKF mean trajectory each
     accepted iteration (rgps/mbrgps.py:36-825)."""

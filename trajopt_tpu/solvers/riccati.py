@@ -22,9 +22,24 @@ class Riccati:
     """API mirror of riccati/riccati.py:8 — constructor (env, nb_steps, init_state,
     activation) and ``run()`` returning the summed rollout cost."""
 
-    def __init__(self, env, nb_steps: int, init_state, activation: dict | None = None):
+    def __init__(
+        self,
+        env,
+        nb_steps: int,
+        init_state,
+        activation: dict | None = None,
+        mesh=None,
+        time_axis: str = "time",
+    ):
+        """``mesh``: optional ``jax.sharding.Mesh`` with a ``time_axis`` axis —
+        the backward pass then runs as the horizon-block-sharded parallel Riccati
+        (core/pscan_lqr.sharded_backward, ppermute-ladder halo exchange) instead
+        of the sequential ``lax.scan``; results agree to solver tolerance
+        (tests/test_pscan.py)."""
         self.env = env
         self.nb_steps = nb_steps
+        self.mesh = mesh
+        self.time_axis = time_axis
 
         self.dm_state = env.dm_state
         self.dm_act = env.dm_act
@@ -48,7 +63,12 @@ class Riccati:
         T = self.nb_steps
         dyn = linearize_dynamics(self.env.dynamics, xref[:T], uref)
         cost = quadratize_cost_abs(self.env.cost, xref, uref, self.weighting)
-        ctl, vfunc = riccati_backward(cost, dyn)
+        if self.mesh is not None:
+            from ..core.pscan_lqr import sharded_backward
+
+            ctl, vfunc = sharded_backward(cost, dyn, self.mesh, self.time_axis)
+        else:
+            ctl, vfunc = riccati_backward(cost, dyn)
         states, actions, costs = rollout_feedback(self.env, ctl, xref[0], self.weighting)
         return ctl, vfunc, states, actions, costs
 
@@ -57,6 +77,12 @@ class Riccati:
         self.ctl, self.vfunc = ctl, vfunc
         self.xref, self.uref = states, actions
         return float(jnp.sum(costs))
+
+    def plot(self, show: bool = True):
+        """Reference-trajectory plot (riccati/riccati.py:128)."""
+        from ..utils.viz import plot_reference_trajectory
+
+        return plot_reference_trajectory(self.xref, self.uref, show=show)
 
     def rollout(self, key, nb_episodes: int) -> dict:
         """Batch of noisy closed-loop episodes (riccati/riccati.py:52-83)."""
