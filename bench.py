@@ -74,28 +74,54 @@ def _problem(T, dx, du, batch, dtype=None):
     return {k: jnp.asarray(v, dtype) for k, v in p.items()}
 
 
-def _chain(fn, args, perturb, reps):
+def _chain(fn, args, perturb, reps, const_args=()):
     """Seconds per call: on-device fori_loop chaining ``fn`` via ``perturb``.
 
     ``fn(*args) -> out``; ``perturb(args, out) -> args`` must inject a
     ``1e-30``-scaled dependency of (a slice of) ``out`` into one input leaf.
     The fetched scalar touches every carry leaf so XLA cannot DCE the loop.
-    """
+
+    The remote-TPU transport adds a ~50 ms CONSTANT to every host fetch
+    (measured via xprof: a 50×24 µs chained loop showed 1.3 ms device time
+    inside a 49 ms wall fetch), so the per-call time is obtained by
+    DIFFERENCING two runs of the same compiled program at trip counts
+    ``reps`` and ``2·reps`` — the constant cancels, the dependency-chain
+    honesty is preserved.  The trip count is a traced ``fori_loop`` bound, so
+    both runs share one executable.
+
+    ``const_args`` are loop-invariant operands passed to ``fn`` AFTER the
+    carried ``args``.  They enter through the jit boundary as real arguments —
+    closing over large device arrays instead would bake them into the
+    executable as multi-GB constants and ship them through the remote-compile
+    path (observed: a 3.5 GB captured-constants lowering that wedged the
+    remote terminal)."""
     import jax
+    import jax.numpy as jnp
     from jax import lax
 
-    def chained(*a):
-        def body(_, a):
-            return perturb(a, fn(*a))
+    n_carry = len(args)
 
-        a = lax.fori_loop(0, reps, body, a)
+    def chained(n, *all_args):
+        a, c = all_args[:n_carry], all_args[n_carry:]
+
+        def body(_, a):
+            return perturb(a, fn(*a, *c))
+
+        a = lax.fori_loop(0, n, body, a)
         return sum(leaf.ravel()[0].astype("float32") for leaf in jax.tree.leaves(a))
 
     f = jax.jit(chained)
-    float(f(*args))  # compile + warm (the host fetch forces completion)
-    start = time.perf_counter()
-    float(f(*args))
-    return (time.perf_counter() - start) / reps
+    float(f(jnp.int32(reps), *args, *const_args))  # compile + warm
+
+    def run(n):
+        start = time.perf_counter()
+        float(f(jnp.int32(n), *args, *const_args))
+        return time.perf_counter() - start
+
+    # best-of-2 per trip count to shave transport jitter
+    t1 = min(run(reps) for _ in range(2))
+    t2 = min(run(2 * reps) for _ in range(2))
+    return max((t2 - t1) / reps, 1e-12)
 
 
 def bench_ilqr_iters(on_tpu):
@@ -155,8 +181,8 @@ def bench_backward_packed(T, dx, du, batch, reps=10):
 
     packed = jax.block_until_ready(jax.jit(build_and_pack)(one))
 
-    def fn(cx):
-        pk = dict(packed)
+    def fn(cx, pk):
+        pk = dict(pk)
         pk["cx"] = cx
         _, kff, _, _ = pallas_ilqr_backward_packed(pk, dx, du, 1, time_chunk=8)
         return kff
@@ -166,8 +192,40 @@ def bench_backward_packed(T, dx, du, batch, reps=10):
         # input, and reading one chunk adds no measurable HBM traffic to the chain
         return (args[0] + 1e-30 * jnp.sum(kff[0]),)
 
-    sec = _chain(fn, (packed["cx"],), perturb, reps)
+    sec = _chain(fn, (packed["cx"],), perturb, reps, const_args=(packed,))
     return batch * T / sec
+
+
+def bench_pscan_latency(T=1000, dx=4, du=2, reps=50):
+    """Batch-1 backward-pass LATENCY (µs/call) of the Pallas parallel-in-time
+    kernel (core/pallas_pscan.py — whole log-depth tree in VMEM, time on lanes)
+    vs the lane-major XLA associative scan it replaces.  Returns
+    (pallas_us, assoc_us)."""
+    import jax
+    import jax.numpy as jnp
+
+    from trajopt_tpu.core.pallas_pscan import pallas_pilqr_backward
+    from trajopt_tpu.core.pscan_lqr import pilqr_backward_lanes
+    from trajopt_tpu.core.types import QuadraticCost
+
+    p = _problem(T, dx, du, 0)
+    cost = QuadraticCost(*[
+        jnp.asarray(p[k], jnp.float32)
+        for k in ["Cxx", "cx", "Cuu", "cu", "Cxu", "c0"]
+    ])
+    A = jnp.asarray(p["A"], jnp.float32)
+    B = jnp.asarray(p["B"], jnp.float32)
+
+    def perturb(args, pol):
+        return (args[0]._replace(cx=args[0].cx + 1e-30 * jnp.sum(pol.kff)),)
+
+    t_pallas = _chain(
+        lambda c: pallas_pilqr_backward(c, A, B)[0], (cost,), perturb, reps
+    )
+    t_assoc = _chain(
+        lambda c: pilqr_backward_lanes(c, A, B)[0], (cost,), perturb, reps
+    )
+    return t_pallas * 1e6, t_assoc * 1e6
 
 
 def bench_riccati(T=100, batch=4096, reps=10):
@@ -318,11 +376,11 @@ def bench_gps_dual(T=1000, batch=4096, on_tpu=True, reps=10):
             jax.jit(lambda a: pack_gps_alpha(a, time_chunk=8))(alpha)
         )
 
-        def fn(cx):
-            pk = dict(packed)
+        def fn(cx, pk, al):
+            pk = dict(pk)
             pk["cx"] = cx
             K_l, kff_l, sigc_l, _, _, _, _ = pallas_gps_backward_packed(
-                pk, alpha_l, dx, du, time_chunk=8
+                pk, al, dx, du, time_chunk=8
             )
             kl_l, _, _ = pallas_gps_forward_kl_packed(
                 pk, K_l, kff_l, sigc_l, dx, du, time_chunk=8
@@ -332,7 +390,8 @@ def bench_gps_dual(T=1000, batch=4096, on_tpu=True, reps=10):
         def perturb(args, kl_l):
             return (args[0] + 1e-30 * jnp.sum(kl_l),)
 
-        sec = _chain(fn, (packed["cx"],), perturb, reps)
+        sec = _chain(fn, (packed["cx"],), perturb, reps,
+                     const_args=(packed, alpha_l))
         return batch * T / sec
 
     from trajopt_tpu.core.scan_lqr import (
@@ -382,6 +441,13 @@ def main():
 
     if on_tpu:  # Mosaic kernel paths: TPU only (tests cover interpreter mode)
         try_bench("ilqr_backward_packed_tps@16384", lambda: bench_backward_packed(T, dx, du, 16384))
+
+        def pscan_pair():
+            us_pallas, us_assoc = bench_pscan_latency()
+            extras["pscan_batch1_assoc_us"] = round(us_assoc, 1)
+            return us_pallas
+
+        try_bench("pscan_batch1_pallas_us", pscan_pair)
     try_bench("riccati_T100_tps@4096", bench_riccati)
     try_bench("elqr_cartpole_iters_per_s@64", bench_elqr)
     try_bench("bsp_lightdark_mpc_steps_per_s", bench_bsp)
