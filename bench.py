@@ -334,8 +334,8 @@ def _gps_dual_operands(T, dx, du, batch):
             ),
         )
         pol = LinearGaussianPolicy(
-            K=0.1 * jax.random.normal(jax.random.PRNGKey(1), (batch, T, du, dx)),
-            kff=0.1 * jax.random.normal(jax.random.PRNGKey(2), (batch, T, du)),
+            K=0.1 * jax.random.normal(jax.random.PRNGKey(1), (batch, T, du, dx), jnp.float32),
+            kff=0.1 * jax.random.normal(jax.random.PRNGKey(2), (batch, T, du), jnp.float32),
             sigma=jnp.broadcast_to(jnp.eye(du), (batch, T, du, du)).astype(
                 jnp.float32
             ),
@@ -419,6 +419,108 @@ def bench_gps_dual(T=1000, batch=4096, on_tpu=True, reps=10):
     return batch * T / sec
 
 
+def bench_rgps_fixed_point(T=100, batch=8, reps=5):
+    """RGPS adversary fixed-point trip (SURVEY §3.4, the reference's deepest hot
+    path): one `parameter_backward_pass` (Kronecker-lifted MatrixNormal solve,
+    rgps/src/util.cpp:626-798) + one `cubature_forward_pass` (util.cpp:232-361)
+    + KL damping, vmapped over a batch of problems.  Returns timesteps/s."""
+    import jax
+    import jax.numpy as jnp
+
+    from trajopt_tpu.core.cubature import (
+        cubature_forward_pass,
+        parameter_augment_cost,
+        parameter_backward_pass,
+    )
+    from trajopt_tpu.core.scan_lqr import gaussian_interp_kl, gaussian_kl
+    from trajopt_tpu.core.types import (
+        LinearGaussianPolicy,
+        MatrixNormalParams,
+        QuadraticCost,
+    )
+
+    dx, du = 4, 2
+    p1 = dx + du + 1
+    pdim = dx * p1
+    one = {k: jnp.asarray(v, jnp.float32) for k, v in _problem(T, dx, du, 0).items()}
+
+    def build(one):
+        b = {k: jnp.broadcast_to(v, (batch,) + v.shape) for k, v in one.items()}
+        cost = QuadraticCost(
+            Cxx=b["Cxx"],
+            cx=b["cx"] + 0.01 * jax.random.normal(
+                jax.random.PRNGKey(0), b["cx"].shape, jnp.float32
+            ),
+            Cuu=b["Cuu"], cu=b["cu"], Cxu=b["Cxu"], c0=b["c0"],
+        )
+        # nominal parameter distribution around the true (A, B, c)
+        theta = jnp.concatenate(
+            [jnp.swapaxes(b["A"], -1, -2).reshape(batch, T, dx * dx),
+             jnp.swapaxes(b["B"], -1, -2).reshape(batch, T, du * dx),
+             b["c"]], axis=-1,
+        )
+        nominal = MatrixNormalParams(
+            mu=theta,
+            sigma=jnp.broadcast_to(
+                1e-4 * jnp.eye(pdim), (batch, T, pdim, pdim)
+            ).astype(jnp.float32),
+        )
+        ctl = LinearGaussianPolicy(
+            K=0.05 * jax.random.normal(jax.random.PRNGKey(1), (batch, T, du, dx), jnp.float32),
+            kff=0.05 * jax.random.normal(jax.random.PRNGKey(2), (batch, T, du), jnp.float32),
+            sigma=jnp.broadcast_to(jnp.eye(du), (batch, T, du, du)).astype(
+                jnp.float32
+            ),
+        )
+        noise = jnp.broadcast_to(1e-4 * jnp.eye(dx), (batch, T, dx, dx)).astype(
+            jnp.float32
+        )
+        mu0 = jnp.zeros((batch, dx), jnp.float32)
+        sigma0 = jnp.broadcast_to(0.01 * jnp.eye(dx), (batch, dx, dx)).astype(
+            jnp.float32
+        )
+
+        def prep(cost_i, nom_i, ctl_i, noise_i, mu0_i, sigma0_i):
+            agCpp, agcp, _ = parameter_augment_cost(nom_i, jnp.float32(100.0))
+            xdist0, _, _ = cubature_forward_pass(
+                mu0_i, sigma0_i, nom_i, noise_i, ctl_i
+            )
+            return agCpp, agcp, xdist0
+
+        agCpp, agcp, xdist0 = jax.vmap(prep)(cost, nominal, ctl, noise, mu0, sigma0)
+        return cost, ctl, noise, mu0, sigma0, agCpp, agcp, xdist0
+
+    cost, ctl, noise, mu0, sigma0, agCpp, agcp, xdist0 = jax.block_until_ready(
+        jax.jit(build)(one)
+    )
+    beta = jnp.full((), 200.0, jnp.float32)
+
+    def trip(cx, cost, ctl, noise, mu0, sigma0, agCpp, agcp, q):
+        cost = cost._replace(cx=cx)
+
+        def one_i(cost_i, ctl_i, noise_i, mu0_i, sigma0_i, aC, ac, q_i):
+            param, _, _ = parameter_backward_pass(
+                q_i, ctl_i, noise_i, cost_i, aC, ac, beta
+            )
+            p_xdist, _, _ = cubature_forward_pass(
+                mu0_i, sigma0_i, param, noise_i, ctl_i
+            )
+            q_new = gaussian_interp_kl(q_i, p_xdist, 1e-1)
+            return jnp.sum(gaussian_kl(p_xdist, q_i)), q_new
+
+        kl, _ = jax.vmap(one_i)(cost, ctl, noise, mu0, sigma0, agCpp, agcp, q)
+        return kl
+
+    def perturb(args, kl):
+        return (args[0] + 1e-30 * jnp.sum(kl),)
+
+    sec = _chain(
+        trip, (cost.cx,), perturb, reps,
+        const_args=(cost, ctl, noise, mu0, sigma0, agCpp, agcp, xdist0),
+    )
+    return batch * T / sec
+
+
 def main():
     import jax
 
@@ -459,6 +561,7 @@ def main():
             on_tpu=on_tpu,
         ),
     )
+    try_bench("rgps_fixed_point_tps@8", bench_rgps_fixed_point)
 
     # CPU C++ baseline: the backward pass alone at T=1000 (a strict LOWER bound on
     # the reference's per-iteration cost — its iteration adds per-t autograd
