@@ -89,3 +89,27 @@ def test_compiled_mfrgps_improves():
     assert np.all(np.diff(tr) <= 1e-6)
     assert tr[-1] < tr[0]
     assert float(state.beta) < 1.0  # adversary active within the KL ball
+
+
+def test_rgps_batch_sharded_matches_unsharded():
+    """run_rgps_batch with the problem axis sharded over the 8-device CPU mesh
+    must reproduce the unsharded result (the batched-RGPS DP axis of SURVEY.md
+    config #5)."""
+    from jax.sharding import Mesh
+
+    from trajopt_tpu.parallel.rgps import run_rgps_batch
+
+    env = trajopt_tpu.make("LQR-TO-v1", sigma_scale=1e-4)
+    mesh = Mesh(np.array(jax.devices("cpu")[:8]), axis_names=("dp",))
+
+    kwargs = dict(nb_problems=8, nb_steps=15, variant="lr", nb_iter=2,
+                  init_action_sigma=10.0, policy_kl_bound=1.0)
+    data = run_rgps_batch(env, jax.random.PRNGKey(5), mesh=mesh, **kwargs)
+    ref = run_rgps_batch(env, jax.random.PRNGKey(5), mesh=None, **kwargs)
+
+    assert data["trace"].shape == (8, 3)
+    assert np.all(np.isfinite(np.asarray(data["trace"])))
+    np.testing.assert_allclose(np.asarray(data["trace"]), np.asarray(ref["trace"]),
+                               rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(data["K"]), np.asarray(ref["K"]),
+                               rtol=1e-6, atol=1e-8)

@@ -372,3 +372,51 @@ def make_rgps_solver(
         return state, jnp.concatenate([ret0[None], trace])
 
     return solve
+
+
+def run_rgps_batch(
+    env,
+    key: Array,
+    nb_problems: int,
+    nb_steps: int,
+    variant: str = "lr",
+    nb_iter: int = 5,
+    mesh=None,
+    axis_name: str = "dp",
+    init_spread: float = 0.1,
+    **rgps_kwargs,
+):
+    """Batch of full robust-GPS solves from perturbed initial states, vmapped and
+    (optionally) mesh-sharded — SURVEY.md config #5's "batched (R)GPS" axis, the
+    robust counterpart of :func:`parallel.gps.run_gps_mpc_batch`.
+
+    Returns {"trace": (N, nb_iter+1) expected-cost traces,
+             "K"/"kff"/"sigma": final robust controller stacks}.
+    """
+    solve = make_rgps_solver(env, nb_steps, variant=variant, nb_iter=nb_iter,
+                             **rgps_kwargs)
+
+    mu0, sigma0 = env.init()
+    mu0 = jnp.asarray(mu0)
+    sigma0 = jnp.asarray(sigma0)
+    keys = jax.random.split(key, nb_problems)
+    mu0s = mu0 + init_spread * jax.vmap(
+        lambda k: jax.random.normal(k, mu0.shape, mu0.dtype)
+    )(keys)
+    sigma0s = jnp.tile(sigma0, (nb_problems,) + (1,) * sigma0.ndim)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sharding = NamedSharding(mesh, P(axis_name))
+        keys = jax.device_put(keys, sharding)
+        mu0s = jax.device_put(mu0s, sharding)
+        sigma0s = jax.device_put(sigma0s, sharding)
+
+    state, trace = jax.jit(jax.vmap(solve))(mu0s, sigma0s, keys)
+    return {
+        "trace": trace,
+        "K": state.ctl.K,
+        "kff": state.ctl.kff,
+        "sigma": state.ctl.sigma,
+    }
