@@ -54,3 +54,27 @@ def test_pallas_pscan_matches_assoc_scan():
     np.testing.assert_allclose(np.asarray(ctl_p.K), np.asarray(ctl_a.K),
                                rtol=1e-8, atol=1e-9)
     np.testing.assert_allclose(np.asarray(dV_p), np.asarray(dV_a), rtol=1e-7)
+
+
+def test_pallas_pscan_reg_matches_lane_major():
+    """λ-folded variant (the 'pallas-pscan' solver engine) == the XLA lane-major
+    λ-folded pass at λ = 0 and λ > 0."""
+    from trajopt_tpu.core.pallas_pscan import pallas_pilqr_backward_reg
+    from trajopt_tpu.core.pscan_lqr import pilqr_backward_reg
+
+    rng = np.random.default_rng(800)
+    T, dx, du = 33, 3, 2
+    p = random_quadratic_problem(rng, T, dx=dx, du=du)
+    cost, A, B = _pack(p)
+
+    for lmbda in (0.0, 0.6):
+        ctl_r, val_r, dV_r, div_r = pilqr_backward_reg(cost, A, B, lmbda)
+        ctl_p, val_p, dV_p, div_p = pallas_pilqr_backward_reg(
+            cost, A, B, lmbda, interpret=True
+        )
+        assert not bool(div_r) and not bool(div_p)
+        np.testing.assert_allclose(np.asarray(ctl_p.K), np.asarray(ctl_r.K),
+                                   rtol=1e-8, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(ctl_p.kff), np.asarray(ctl_r.kff),
+                                   rtol=1e-8, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(dV_p), np.asarray(dV_r), rtol=1e-7)

@@ -363,3 +363,29 @@ def _pallas_pilqr_backward(cost, A, B, *, use_pallas):
     dV = jnp.sum(dv_p, axis=1)
     value = QuadraticValue(V=S, v=s, v0=jnp.zeros(T + 1, dtype))
     return LinearPolicy(K=K, kff=kff), value, dV
+
+
+def pallas_pilqr_backward_reg(
+    cost: QuadraticCost,
+    A: Array,
+    B: Array,
+    lmbda: Array | float = 0.0,
+    *,
+    interpret: bool = False,
+) -> tuple[LinearPolicy, QuadraticValue, Array, Array]:
+    """λ-regularized variant with the same λ-folded semantics as
+    :func:`core.pscan_lqr.pilqr_backward_reg` (λ into the action Hessian — exact
+    at λ = 0, proximal above), plus a NaN/Inf divergence flag: the solver-engine
+    contract for ``backward='pallas-pscan'`` in
+    :func:`parallel.mpc.make_ilqr_solver`."""
+    du = B.shape[-1]
+    lam_eye = lmbda * jnp.eye(du, dtype=A.dtype)
+    ctl, value, dV = pallas_pilqr_backward(
+        cost._replace(Cuu=cost.Cuu + lam_eye), A, B, interpret=interpret
+    )
+    diverged = ~(
+        jnp.all(jnp.isfinite(ctl.K))
+        & jnp.all(jnp.isfinite(ctl.kff))
+        & jnp.all(jnp.isfinite(value.V))
+    )
+    return ctl, value, dV, diverged

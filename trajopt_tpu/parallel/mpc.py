@@ -68,6 +68,10 @@ def make_ilqr_solver(
       * ``backward='pscan'`` — lane-major ``lax.associative_scan`` parallel-in-time
         Riccati (core/pscan_lqr.py); λ is folded into the action Hessian (exact at
         λ = 0, proximal variant for λ > 0; ``reg`` is ignored).
+      * ``backward='pallas-pscan'`` — the same λ-folded parallel-in-time pass as
+        ONE Pallas launch (core/pallas_pscan.py, time-on-lanes tree in VMEM) —
+        the batch-1 latency engine on TPU (~23 µs at T = 1000 vs ~0.6 ms for
+        'pscan').
       * ``time_mesh=Mesh(..., (time_axis,))`` — the same parallel-in-time pass with
         the horizon block-sharded across the mesh axis and the block composites
         exchanged via a log-depth ``ppermute`` ladder (SURVEY.md §2.4's
@@ -95,6 +99,12 @@ def make_ilqr_solver(
 
         def bwd(cost, A, B, lmbda):
             ctl, value, dV, div = pilqr_backward_reg(cost, A, B, lmbda)
+            return ctl, value, None, dV, div
+    elif backward == "pallas-pscan":
+        from ..core.pallas_pscan import pallas_pilqr_backward_reg
+
+        def bwd(cost, A, B, lmbda):
+            ctl, value, dV, div = pallas_pilqr_backward_reg(cost, A, B, lmbda)
             return ctl, value, None, dV, div
     elif backward == "scan":
 
