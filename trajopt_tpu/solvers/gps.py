@@ -300,6 +300,12 @@ class MFGPS(MBGPS):
         self.data: dict = {}
         self._rollout_key = jax.random.PRNGKey(1) if key is None else key
 
+    def plot_data(self, show: bool = True):
+        """Sampled-rollout data plot (mfgps.py:213-226); requires a prior run()."""
+        from ..utils.viz import plot_rollout_data
+
+        return plot_rollout_data(self.data, show=show)
+
     def rollout(self, nb_episodes: int, stoch: bool = True, key=None) -> dict:
         from .common import rollout_batch
 

@@ -579,6 +579,12 @@ class MFRGPS(_RGPSBase):
         self.prior = {"K": 1e-6, "psi": 1e-8, "nu": 0.1} if prior is None else prior
         self.data: dict = {}
 
+    def plot_data(self, show: bool = True):
+        """Sampled-rollout data plot (mfrgps.py:493); requires a prior run()."""
+        from ..utils.viz import plot_rollout_data
+
+        return plot_rollout_data(self.data, show=show)
+
     def rollout(self, nb_episodes: int, stoch: bool = True, key=None) -> dict:
         from .common import rollout_batch
 

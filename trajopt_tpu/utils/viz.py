@@ -175,3 +175,28 @@ def plot_belief_trajectory(bref_mu, bref_sigma, uref, show: bool = True):
     if show:
         plt.show()
     return fig
+
+
+def plot_rollout_data(data, show: bool = True):
+    """Sampled-rollout spaghetti plot — mfgps.py:213-226 / mfrgps.py:493
+    (episodes overlaid per state/action coordinate; time leading:
+    ``data['x'] (E, T, dx)``, ``data['u'] (E, T, du)``)."""
+    import matplotlib.pyplot as plt
+
+    x = np.asarray(data["x"])
+    u = np.asarray(data["u"])
+    dm_state, dm_act = x.shape[-1], u.shape[-1]
+    n = dm_state + dm_act
+    fig, axs = plt.subplots(n, 1, figsize=(8, 1.8 * n), sharex=True)
+    axs = np.atleast_1d(axs)
+    for k in range(dm_state):
+        axs[k].plot(x[..., k].T, lw=0.6)
+        axs[k].set_ylabel(f"x[{k}]")
+    for k in range(dm_act):
+        axs[dm_state + k].plot(u[..., k].T, lw=0.6)
+        axs[dm_state + k].set_ylabel(f"u[{k}]")
+    axs[-1].set_xlabel("t")
+    fig.tight_layout()
+    if show:
+        plt.show()
+    return fig
