@@ -19,5 +19,9 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+# TRAJOPT_TEST_TPU=1 leaves the attached accelerator active (f32) so the
+# device-only engine tests (tests/test_tpu.py) can run:
+#   TRAJOPT_TEST_TPU=1 python -m pytest tests/test_tpu.py -q
+if os.environ.get("TRAJOPT_TEST_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
