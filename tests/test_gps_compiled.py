@@ -151,3 +151,36 @@ def test_gps_mpc_batch_sharded_matches_unsharded():
                                rtol=1e-7, atol=1e-8)
     np.testing.assert_allclose(np.asarray(data["u"]), np.asarray(ref["u"]),
                                rtol=1e-7, atol=1e-8)
+
+
+def test_gps_mpc_batched_matches_vmapped():
+    """Batch-native GPS-MPC (one batched dual bisection per control step) must
+    reproduce vmapping the per-episode runner exactly — key streams included."""
+    from trajopt_tpu.parallel.gps import run_gps_mpc_batch
+
+    env = trajopt_tpu.make("Pendulum-TO-v0", dt=0.05).replace(uw=(1e-5,))
+    kwargs = dict(nb_episodes=4, horizon=12, nb_steps=4, nb_iter=2, kl_bound=2.0)
+    data = run_gps_mpc_batch(env, jax.random.PRNGKey(7), batched=True, **kwargs)
+    ref = run_gps_mpc_batch(env, jax.random.PRNGKey(7), batched=False, **kwargs)
+
+    np.testing.assert_allclose(np.asarray(data["x"]), np.asarray(ref["x"]),
+                               rtol=1e-7, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(data["u"]), np.asarray(ref["u"]),
+                               rtol=1e-7, atol=1e-8)
+
+
+def test_gps_mpc_batched_sharded_matches():
+    """Batch-native GPS-MPC under shard_map on the 8-device mesh == unsharded."""
+    from jax.sharding import Mesh
+
+    from trajopt_tpu.parallel.gps import run_gps_mpc_batch
+
+    env = trajopt_tpu.make("Pendulum-TO-v0", dt=0.05).replace(uw=(1e-5,))
+    mesh = Mesh(np.array(jax.devices("cpu")[:8]), axis_names=("dp",))
+    kwargs = dict(nb_episodes=8, horizon=10, nb_steps=3, nb_iter=2, kl_bound=2.0)
+    data = run_gps_mpc_batch(env, jax.random.PRNGKey(8), batched=True, mesh=mesh,
+                             **kwargs)
+    ref = run_gps_mpc_batch(env, jax.random.PRNGKey(8), batched=True, mesh=None,
+                            **kwargs)
+    np.testing.assert_allclose(np.asarray(data["x"]), np.asarray(ref["x"]),
+                               rtol=1e-7, atol=1e-8)
