@@ -184,3 +184,68 @@ def test_gps_mpc_batched_sharded_matches():
                             **kwargs)
     np.testing.assert_allclose(np.asarray(data["x"]), np.asarray(ref["x"]),
                                rtol=1e-7, atol=1e-8)
+
+
+def test_mfgps_sharded_rollout_fit_matches_unsharded():
+    """MFGPS with the episode/regression axis sharded over the 8-device mesh
+    (psum-combined Gram statistics) must match the unsharded solver — identical
+    episode keys, identical MNIW posterior, identical trace."""
+    from jax.sharding import Mesh
+
+    from trajopt_tpu.parallel.gps import make_mfgps_solver
+
+    env = trajopt_tpu.make("LQR-TO-v1", sigma_scale=1e-4)
+    mesh = Mesh(np.array(jax.devices("cpu")[:8]), axis_names=("dp",))
+    mu0, sigma0 = env.init()
+    mu0, sigma0 = jnp.asarray(mu0), jnp.asarray(sigma0)
+
+    kwargs = dict(nb_steps=15, nb_iter=3, nb_episodes=16, kl_bound=2.0,
+                  init_action_sigma=1.0)
+    s_ref = jax.jit(make_mfgps_solver(env, **kwargs))
+    s_shd = jax.jit(make_mfgps_solver(env, mesh=mesh, **kwargs))
+
+    (_, dyn_r, ret_r), tr_r = s_ref(jax.random.PRNGKey(9), mu0, sigma0)
+    (_, dyn_s, ret_s), tr_s = s_shd(jax.random.PRNGKey(9), mu0, sigma0)
+
+    # identical episodes; only the Gram-sum reduction order differs (per-shard
+    # partial sums + psum vs one einsum), so agreement is to accumulated
+    # floating-point noise, not bitwise
+    np.testing.assert_allclose(np.asarray(tr_s), np.asarray(tr_r),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(dyn_s.A), np.asarray(dyn_r.A),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_sharded_regression_matches_unsharded():
+    """mniw_map_regression_sharded (per-shard Gram sums + psum) == the plain
+    fit on identical data — one fit, no iteration compounding, tight."""
+    from jax.sharding import Mesh
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    from trajopt_tpu.parallel.regression import (
+        mniw_map_regression,
+        mniw_map_regression_sharded,
+    )
+
+    mesh = Mesh(np.array(jax.devices("cpu")[:8]), axis_names=("dp",))
+    E, T, dx, du = 32, 12, 3, 2
+    ks = jax.random.split(jax.random.PRNGKey(11), 3)
+    xs = jax.random.normal(ks[0], (E, T, dx))
+    us = jax.random.normal(ks[1], (E, T, du))
+    A_true = 0.8 * jnp.eye(dx) + 0.05 * jax.random.normal(ks[2], (dx, dx))
+    xns = jnp.einsum("ij,etj->eti", A_true, xs) + 0.3 * us @ jnp.ones((du, dx)) \
+        + 0.01 * jax.random.normal(ks[2], (E, T, dx))
+    prior = {"K": 1e-6, "psi": 1e-8, "nu": 0.1}
+
+    ref = mniw_map_regression(xs, us, xns, prior)
+    shd = shard_map(
+        lambda x, u, xn: mniw_map_regression_sharded(x, u, xn, prior),
+        mesh=mesh, in_specs=(P("dp"), P("dp"), P("dp")), out_specs=P(),
+        check_vma=False,
+    )(xs, us, xns)
+
+    np.testing.assert_allclose(np.asarray(shd.A), np.asarray(ref.A),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(shd.sigma), np.asarray(ref.sigma),
+                               rtol=1e-8, atol=1e-12)

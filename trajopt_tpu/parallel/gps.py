@@ -204,6 +204,8 @@ def make_mfgps_solver(
     action_penalty=None,
     prior: dict | None = None,
     bisect_iters: int = 64,
+    mesh=None,
+    axis_name: str = "dp",
 ):
     """Fully-compiled model-free GPS: ``solve(key, mu0, sigma0) -> (state, trace)``.
 
@@ -215,9 +217,16 @@ def make_mfgps_solver(
     is consumed only on accepted iterations, matching the host's key sequence, so
     the two implementations follow the same sample path when they make the same
     accept decisions.
+
+    ``mesh``: optional device mesh — the ``nb_episodes`` sampling axis is then
+    block-sharded over ``axis_name``: each device rolls out its episode shard
+    and contributes Gram partial sums; a ``psum`` combines them and every device
+    finishes the identical MNIW posterior (parallel/regression.py
+    ``mniw_map_regression_sharded``) — the sharded-rollout fitting axis of
+    SURVEY.md §2.4 (same episode keys as the unsharded path, so results match).
     """
-    from ..solvers.common import rollout_batch
-    from .regression import mniw_map_regression
+    from ..solvers.common import rollout_batch, rollout_stochastic
+    from .regression import _dyn_from_stats, _gram_stats, mniw_map_regression
 
     overrides = {"slew_rate": slew_rate}
     if action_penalty is not None:
@@ -230,16 +239,51 @@ def make_mfgps_solver(
     prior = {"K": 1e-6, "psi": 1e-8, "nu": 0.1} if prior is None else prior
     LOG_LO, LOG_HI = -16.0, 16.0
 
-    def sample_and_fit(key, ctl):
-        data = rollout_batch(env, ctl, key, weighting, nb_episodes)
-        dyn = mniw_map_regression(data["x"], data["u"], data["xn"], prior)
-        xmu = jnp.concatenate(
-            [jnp.mean(data["x"], axis=0), jnp.mean(data["xn"][:, -1:], axis=0)]
-        )
-        umu = jnp.mean(data["u"], axis=0)
-        cost = quadratize_cost_abs(env.cost, xmu, umu, weighting)
-        ret = jnp.mean(jnp.sum(data["c"], axis=1))
-        return dyn, cost, ret
+    if mesh is None:
+
+        def sample_and_fit(key, ctl):
+            data = rollout_batch(env, ctl, key, weighting, nb_episodes)
+            dyn = mniw_map_regression(data["x"], data["u"], data["xn"], prior)
+            xmu = jnp.concatenate(
+                [jnp.mean(data["x"], axis=0), jnp.mean(data["xn"][:, -1:], axis=0)]
+            )
+            umu = jnp.mean(data["u"], axis=0)
+            cost = quadratize_cost_abs(env.cost, xmu, umu, weighting)
+            ret = jnp.mean(jnp.sum(data["c"], axis=1))
+            return dyn, cost, ret
+
+    else:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def sample_and_fit(key, ctl):
+            keys = jax.random.split(key, nb_episodes)  # same stream as unsharded
+
+            def local(keys, ctl):
+                data = jax.vmap(
+                    lambda k: rollout_stochastic(env, ctl, k, weighting)
+                )(keys)
+                XtX, YtX, YtY, _ = _gram_stats(data["x"], data["u"], data["xn"])
+                ps = lambda x: lax.psum(x, axis_name)
+                return (
+                    ps(XtX), ps(YtX), ps(YtY),
+                    ps(jnp.sum(data["x"], axis=0)),
+                    ps(jnp.sum(data["xn"][:, -1:], axis=0)),
+                    ps(jnp.sum(data["u"], axis=0)),
+                    ps(jnp.sum(jnp.sum(data["c"], axis=1), axis=0)),
+                )
+
+            XtX, YtX, YtY, xsum, xnlast, usum, csum = shard_map(
+                local, mesh=mesh,
+                in_specs=(P(axis_name), P()),
+                out_specs=(P(),) * 7,
+                check_vma=False,
+            )(keys, ctl)
+            dyn = _dyn_from_stats(XtX, YtX, YtY, nb_episodes, prior, dx)
+            xmu = jnp.concatenate([xsum, xnlast]) / nb_episodes
+            umu = usum / nb_episodes
+            cost = quadratize_cost_abs(env.cost, xmu, umu, weighting)
+            return dyn, cost, csum / nb_episodes
 
     def kl_at(log_alpha, cost, dyn, ctl, mu0, sigma0):
         alpha = jnp.full(T, 10.0 ** log_alpha, mu0.dtype)

@@ -32,19 +32,71 @@ def _design(x: Array, u: Array) -> Array:
     return jnp.concatenate([x, u, jnp.ones((N, 1), x.dtype)], axis=1)
 
 
-def _mniw_posterior(X: Array, Y: Array, prior: dict, dx: int):
-    q = X.shape[-1]
-    N = X.shape[0]
-    K0 = prior["K"] * jnp.eye(q, dtype=X.dtype)
-    M0 = jnp.zeros((dx, q), X.dtype)
-    psi0 = prior.get("psi", 1e-8) * jnp.eye(dx, dtype=X.dtype)
+def _mniw_posterior_from_stats(
+    XtX: Array, YtX: Array, YtY: Array, N, prior: dict, dx: int
+):
+    """Posterior from the episode-summed Gram statistics — the form that makes
+    the fit data-parallel: shards contribute (XᵀX, YᵀX, YᵀY, N) partial sums,
+    a ``psum`` combines them, and this closed form finishes the update."""
+    q = XtX.shape[-1]
+    K0 = prior["K"] * jnp.eye(q, dtype=XtX.dtype)
+    M0 = jnp.zeros((dx, q), XtX.dtype)
+    psi0 = prior.get("psi", 1e-8) * jnp.eye(dx, dtype=XtX.dtype)
     nu0 = dx + prior.get("nu", 0.1)
 
-    K_n = K0 + X.T @ X
-    M_n = jnp.linalg.solve(K_n.T, (M0 @ K0 + Y.T @ X).T).T
-    psi_n = psi0 + Y.T @ Y + M0 @ K0 @ M0.T - M_n @ K_n @ M_n.T
+    K_n = K0 + XtX
+    M_n = jnp.linalg.solve(K_n.T, (M0 @ K0 + YtX).T).T
+    psi_n = psi0 + YtY + M0 @ K0 @ M0.T - M_n @ K_n @ M_n.T
     nu_n = nu0 + N
     return M_n, K_n, psi_n, nu_n
+
+
+def _mniw_posterior(X: Array, Y: Array, prior: dict, dx: int):
+    return _mniw_posterior_from_stats(
+        X.T @ X, Y.T @ X, Y.T @ Y, X.shape[0], prior, dx
+    )
+
+
+def _gram_stats(xs: Array, us: Array, xns: Array):
+    """Per-timestep episode-summed Gram statistics from (E, T, d) rollouts."""
+    E = xs.shape[0]
+    X = jnp.concatenate([xs, us, jnp.ones(xs.shape[:2] + (1,), xs.dtype)], axis=-1)
+    XtX = jnp.einsum("etq,etp->tqp", X, X)
+    YtX = jnp.einsum("etd,etq->tdq", xns, X)
+    YtY = jnp.einsum("etd,etf->tdf", xns, xns)
+    return XtX, YtX, YtY, E
+
+
+def _dyn_from_stats(XtX, YtX, YtY, N, prior, dx):
+    def fit_t(xtx, ytx, yty):
+        M_n, K_n, psi_n, nu_n = _mniw_posterior_from_stats(
+            xtx, ytx, yty, N, prior, dx
+        )
+        A = M_n[:, :dx]
+        B = M_n[:, dx:-1]
+        c = M_n[:, -1]
+        sigma = psi_n / (nu_n + dx + 1.0)
+        return A, B, c, 0.5 * (sigma + sigma.T)
+
+    A, B, c, sigma = jax.vmap(fit_t)(XtX, YtX, YtY)
+    return LinearGaussianDynamics(A=A, B=B, c=c, sigma=sigma)
+
+
+def mniw_map_regression_sharded(
+    xs: Array, us: Array, xns: Array, prior: dict, axis_name: str = "dp"
+) -> LinearGaussianDynamics:
+    """Data-parallel MAP fit for use INSIDE ``shard_map``: ``xs/us/xns`` are this
+    device's episode shard; the Gram statistics are ``psum``-ed over
+    ``axis_name`` and every device finishes the identical posterior — the
+    sharded-rollout regression SURVEY.md §2.4/§5 names (replaces the reference's
+    per-timestep ``mimo`` loop over a joblib-gathered batch)."""
+    dx = xs.shape[-1]
+    XtX, YtX, YtY, E = _gram_stats(xs, us, xns)
+    XtX = jax.lax.psum(XtX, axis_name)
+    YtX = jax.lax.psum(YtX, axis_name)
+    YtY = jax.lax.psum(YtY, axis_name)
+    N = jax.lax.psum(E, axis_name)
+    return _dyn_from_stats(XtX, YtX, YtY, N, prior, dx)
 
 
 def mniw_map_regression(
