@@ -154,7 +154,7 @@ def bench_ilqr_iters(on_tpu):
     return N * nb_iter / sec, sec / nb_iter  # instance-iters/s, sec per batch-iter
 
 
-def bench_backward_packed(T, dx, du, batch, reps=10):
+def bench_backward_packed(T, dx, du, batch, reps=20):
     """Packed lane-major Pallas backward kernel on its native operands.
 
     The batch is broadcast + decorrelated ON DEVICE from a single-instance host
@@ -196,7 +196,7 @@ def bench_backward_packed(T, dx, du, batch, reps=10):
     return batch * T / sec
 
 
-def bench_pscan_latency(T=1000, dx=4, du=2, reps=50):
+def bench_pscan_latency(T=1000, dx=4, du=2, reps=800):
     """Batch-1 backward-pass LATENCY (µs/call) of the Pallas parallel-in-time
     kernel (core/pallas_pscan.py — whole log-depth tree in VMEM, time on lanes)
     vs the lane-major XLA associative scan it replaces.  Returns
@@ -228,20 +228,66 @@ def bench_pscan_latency(T=1000, dx=4, du=2, reps=50):
     return t_pallas * 1e6, t_assoc * 1e6
 
 
-def bench_riccati(T=100, batch=4096, reps=10):
-    """Riccati LQR recursion (BASELINE config #1): backward pass + gains at T=100."""
+def bench_riccati(T=100, batch=4096, on_tpu=True, reps=400):
+    """Riccati LQR recursion (BASELINE config #1): exact backward pass + gains at
+    T=100 — on TPU, the packed Pallas kernel via the homogeneous-coordinate
+    reduction (core/pallas_lqr.pallas_riccati_backward); elsewhere the vmapped
+    scan kernel."""
     import jax
     import jax.numpy as jnp
 
-    from trajopt_tpu.core.scan_lqr import riccati_backward
     from trajopt_tpu.core.types import LinearDynamics, QuadraticCost
 
     dx, du = 2, 1
-    p = _problem(T, dx, du, batch, jnp.float32)
-    cost = QuadraticCost(
-        Cxx=p["Cxx"], cx=p["cx"], Cuu=p["Cuu"], cu=p["cu"], Cxu=p["Cxu"], c0=p["c0"]
-    )
-    dyn = LinearDynamics(A=p["A"], B=p["B"], c=p["c"])
+    one = {k: jnp.asarray(v, jnp.float32) for k, v in _problem(T, dx, du, 0).items()}
+
+    def build(one):
+        b = {k: jnp.broadcast_to(v, (batch,) + v.shape) for k, v in one.items()}
+        cx = b["cx"] + 0.01 * jax.random.normal(
+            jax.random.PRNGKey(0), b["cx"].shape, jnp.float32
+        )
+        cost = QuadraticCost(
+            Cxx=b["Cxx"], cx=cx, Cuu=b["Cuu"], cu=b["cu"], Cxu=b["Cxu"], c0=b["c0"]
+        )
+        return cost, b["A"], b["B"], b["c"]
+
+    cost, A, B, c = jax.block_until_ready(jax.jit(build)(one))
+
+    if on_tpu:
+        from trajopt_tpu.core.pallas_lqr import (
+            _augment_riccati,
+            pack_lanes,
+            pallas_ilqr_backward_packed,
+        )
+
+        cost_aug, A_aug, B_aug = jax.block_until_ready(
+            jax.jit(_augment_riccati)(cost, A, B, c)
+        )
+        lam = jnp.zeros(batch, jnp.float32)
+        packed = jax.block_until_ready(
+            jax.jit(lambda ca, aa, ba: pack_lanes(ca, aa, ba, lam, time_chunk=4))(
+                cost_aug, A_aug, B_aug
+            )
+        )
+
+        def fn(cxx, pk):
+            pk = dict(pk)
+            pk["cxx"] = cxx
+            K, _, _, _ = pallas_ilqr_backward_packed(
+                pk, dx + 1, du, 1, time_chunk=4
+            )
+            return K
+
+        def perturb(args, K):
+            return (args[0] + 1e-30 * jnp.sum(K[0]),)
+
+        sec = _chain(fn, (packed["cxx"],), perturb, reps, const_args=(packed,))
+        return batch * T / sec
+
+    from trajopt_tpu.core.scan_lqr import riccati_backward
+
+    reps = min(reps, 3)
+    dyn = LinearDynamics(A=A, B=B, c=c)
 
     def fn(cost, dyn):
         ctl, _ = jax.vmap(riccati_backward)(cost, dyn)
@@ -347,7 +393,7 @@ def _gps_dual_operands(T, dx, du, batch):
     return jax.jit(build)(one)
 
 
-def bench_gps_dual(T=1000, batch=4096, on_tpu=True, reps=10):
+def bench_gps_dual(T=1000, batch=4096, on_tpu=True, reps=25):
     """Batched GPS dual-evaluation chain (BASELINE config #5): KL-augment + soft
     backward, then Gaussian forward + KL — on TPU, TWO packed lane-major Pallas
     launches on pre-packed operands (core/pallas_gps.py), the layout the compiled
@@ -550,7 +596,10 @@ def main():
             return us_pallas
 
         try_bench("pscan_batch1_pallas_us", pscan_pair)
-    try_bench("riccati_T100_tps@4096", bench_riccati)
+    try_bench(
+        "riccati_T100_tps@4096",
+        lambda: bench_riccati(on_tpu=on_tpu),
+    )
     try_bench("elqr_cartpole_iters_per_s@64", bench_elqr)
     try_bench("bsp_lightdark_mpc_steps_per_s", bench_bsp)
     try_bench(

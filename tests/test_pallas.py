@@ -124,3 +124,34 @@ def test_packed_path_matches_unpacked():
     assert np.array_equal(np.asarray(pol.kff), np.asarray(pol2.kff))
     assert np.array_equal(np.asarray(dV), np.asarray(dV2))
     assert np.array_equal(np.asarray(bad), np.asarray(bad2))
+
+
+def test_pallas_riccati_matches_scan():
+    """Homogeneous-coordinate reduction: the Pallas Riccati (absolute
+    convention, affine dynamics) must match the scan kernel — feedforward
+    (kff = -1/2 Quu^-1 qu) included."""
+    from trajopt_tpu.core.pallas_lqr import pallas_riccati_backward
+    from trajopt_tpu.core.scan_lqr import riccati_backward
+    from trajopt_tpu.core.types import LinearDynamics
+
+    from ref_impl import random_quadratic_problem
+
+    rng = np.random.default_rng(900)
+    N, T, dx, du = 3, 9, 3, 2
+    probs = [random_quadratic_problem(rng, T, dx=dx, du=du) for _ in range(N)]
+    stack = lambda k: jnp.asarray(np.stack([p[k] for p in probs]))
+    cost = QuadraticCost(Cxx=stack("Cxx"), cx=stack("cx"), Cuu=stack("Cuu"),
+                         cu=stack("cu"), Cxu=stack("Cxu"), c0=stack("c0"))
+    A, B, c = stack("A"), stack("B"), stack("c")
+
+    def one(cost_i, A_i, B_i, c_i):
+        ctl, _ = riccati_backward(cost_i, LinearDynamics(A=A_i, B=B_i, c=c_i))
+        return ctl.K, ctl.kff
+
+    K_ref, kff_ref = jax.vmap(one)(cost, A, B, c)
+    pol, div = pallas_riccati_backward(cost, A, B, c, time_chunk=4, interpret=True)
+    assert not np.any(np.asarray(div))
+    np.testing.assert_allclose(np.asarray(pol.K), np.asarray(K_ref),
+                               rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(pol.kff), np.asarray(kff_ref),
+                               rtol=1e-8, atol=1e-9)

@@ -499,3 +499,70 @@ def _call_packed(
         packed["cxx"], packed["cx"], packed["cuu"], packed["cu"], packed["cxu"],
         packed["A"], packed["B"], packed["vT"], packed["vvT"], packed["lam"],
     )
+
+
+# --------------------------------------------------------------------------------------
+# Riccati (absolute convention) via homogeneous-coordinate reduction
+# --------------------------------------------------------------------------------------
+
+
+def _augment_riccati(cost: QuadraticCost, A: Array, B: Array, c: Array):
+    """Reduce the absolute-convention affine LQR (riccati/riccati.py:100-126) to
+    the delta-convention pure-quadratic problem the iLQR kernel solves, via
+    homogeneous coordinates z = [x; 1]:
+
+        z' = [[A, c], [0, 1]] z + [B; 0] u,
+        stage cost  zᵀ [[Cxx, cx/2], [cxᵀ/2, c0]] z + uᵀ Cuu u + 2 zᵀ [[Cxu], [cuᵀ/2]] u.
+
+    The kernel's recursion on these matrices reproduces the reference recursion
+    exactly — e.g. its Qux last column is ½(cu + 2BᵀVc + Bᵀv) = ½qu, so the
+    feedforward appears as the gain's last column with the reference's
+    ``kff = −½Quu⁻¹qu`` factor built in.  The kernel's own linear channels
+    (cx, cu) stay zero."""
+    N, T = A.shape[0], A.shape[1]
+    dx, du = A.shape[-1], B.shape[-1]
+    dtype = A.dtype
+
+    bot = jnp.zeros((N, T, 1, dx + 1), dtype).at[..., 0, dx].set(1.0)
+    A_aug = jnp.concatenate(
+        [jnp.concatenate([A, c[..., None]], axis=-1), bot], axis=-2
+    )
+    B_aug = jnp.concatenate([B, jnp.zeros((N, T, 1, du), dtype)], axis=-2)
+
+    top = jnp.concatenate([cost.Cxx, 0.5 * cost.cx[..., None]], axis=-1)
+    low = jnp.concatenate(
+        [0.5 * cost.cx[..., None, :], cost.c0[..., None, None]], axis=-1
+    )
+    Cxx_aug = jnp.concatenate([top, low], axis=-2)
+    Cxu_aug = jnp.concatenate([cost.Cxu, 0.5 * cost.cu[..., None, :]], axis=-2)
+
+    zeros_x = jnp.zeros((N, T + 1, dx + 1), dtype)
+    zeros_u = jnp.zeros((N, T + 1, du), dtype)
+    cost_aug = QuadraticCost(
+        Cxx=Cxx_aug, cx=zeros_x, Cuu=cost.Cuu, cu=zeros_u, Cxu=Cxu_aug,
+        c0=jnp.zeros((N, T + 1), dtype),
+    )
+    return cost_aug, A_aug, B_aug
+
+
+def pallas_riccati_backward(
+    cost: QuadraticCost,
+    A: Array,
+    B: Array,
+    c: Array,
+    *,
+    time_chunk: int = 8,
+    interpret: bool = False,
+) -> tuple[LinearPolicy, Array]:
+    """Batched exact-LQR (Riccati) backward pass on the Pallas kernel — the
+    absolute-convention counterpart of :func:`pallas_ilqr_backward` via
+    :func:`_augment_riccati`.  Batch-leading args (``c`` is the dynamics
+    residual, (N, T, dx)); returns (policy(K (N,T,du,dx), kff (N,T,du)),
+    diverged (N,))."""
+    dx = A.shape[-1]
+    cost_aug, A_aug, B_aug = _augment_riccati(cost, A, B, c)
+    lam = jnp.zeros(A.shape[0], A.dtype)
+    pol, _, div = pallas_ilqr_backward(
+        cost_aug, A_aug, B_aug, lam, 1, time_chunk=time_chunk, interpret=interpret
+    )
+    return LinearPolicy(K=pol.K[..., :dx], kff=pol.K[..., dx]), div
