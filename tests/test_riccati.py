@@ -1,3 +1,4 @@
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -99,3 +100,25 @@ def test_riccati_cost_matches_value_function_prediction():
     np.testing.assert_allclose(
         realized - realized2, predicted - predicted2, rtol=5e-2
     )
+
+
+def test_batched_riccati_solver_matches_host():
+    """Batch-native Riccati (parallel/riccati.py, scan engine on CPU) must match
+    the host Riccati class per instance."""
+    from trajopt_tpu.parallel.riccati import make_riccati_solver_batched
+    from trajopt_tpu.solvers import Riccati
+
+    env = trajopt_tpu.make("LQR-TO-v0")
+    solve = jax.jit(make_riccati_solver_batched(env, nb_steps=40))
+    mu0, _ = env.init()
+    x0s = jnp.asarray(mu0) + jnp.asarray([[0.0, 0.0], [0.3, -0.2], [-0.5, 0.1]])
+
+    ctl, states, actions, costs, div = solve(x0s)
+    assert not np.any(np.asarray(div))
+
+    for i in range(3):
+        host = Riccati(env, nb_steps=40, init_state=(np.asarray(x0s[i]), env.init()[1]))
+        c_host = host.run()
+        np.testing.assert_allclose(float(jnp.sum(costs[i])), c_host, rtol=1e-8)
+        np.testing.assert_allclose(np.asarray(ctl.K[i]), np.asarray(host.ctl.K),
+                                   rtol=1e-8, atol=1e-10)

@@ -1,1 +1,1 @@
-from . import bsp, elqr, gps, mesh, mpc, regression, rgps  # noqa: F401
+from . import bsp, elqr, gps, mesh, mpc, regression, rgps, riccati  # noqa: F401
