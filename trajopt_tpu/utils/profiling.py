@@ -48,23 +48,37 @@ def chained_seconds_per_call(
     ``fold(args, out) -> args`` must inject a numerically-inert data dependency of
     ``out`` into the next iteration's inputs (e.g. add ``1e-30 * jnp.sum(out)`` to
     one input — exact zero in f32, but the scheduler cannot reorder across it).
-    """
 
-    def chained(*a):
+    The per-call time is obtained by DIFFERENCING two runs of one executable at
+    trip counts ``reps`` and ``2·reps`` (the trip count is a traced fori_loop
+    bound): remote-TPU transports add a ~50 ms CONSTANT to every host fetch
+    (xprof: a 50×24 µs chained loop showed 1.3 ms device time inside a 49 ms
+    wall fetch), which would otherwise swamp short kernels.  Size ``reps`` so
+    ``reps × per-call`` comfortably exceeds the transport jitter (~5 ms).
+    """
+    import jax.numpy as jnp
+
+    def chained(n, *a):
         def body(_, a):
             return fold(a, fn(*a))
 
-        a = lax.fori_loop(0, reps, body, a)
+        a = lax.fori_loop(0, n, body, a)
         # the fetched scalar must depend on EVERY leaf — if it misses the one the
         # fold perturbs, XLA dead-code-eliminates the entire loop and the timing
         # silently measures nothing
-        return sum(leaf.ravel()[0] for leaf in jax.tree.leaves(a))
+        return sum(leaf.ravel()[0].astype("float32") for leaf in jax.tree.leaves(a))
 
     f = jax.jit(chained)
-    float(f(*args))  # compile + warm; the fetch forces real completion
-    start = time.perf_counter()
-    float(f(*args))
-    return (time.perf_counter() - start) / reps
+    float(f(jnp.int32(reps), *args))  # compile + warm; the fetch forces completion
+
+    def run(n):
+        start = time.perf_counter()
+        float(f(jnp.int32(n), *args))
+        return time.perf_counter() - start
+
+    t1 = min(run(reps) for _ in range(2))
+    t2 = min(run(2 * reps) for _ in range(2))
+    return max((t2 - t1) / reps, 1e-12)
 
 
 def backward_roofline(
