@@ -20,6 +20,7 @@ Run manually only when adding new fixtures:  python tests/make_goldens.py
 from __future__ import annotations
 
 import pathlib
+import sys
 
 import numpy as np
 
@@ -91,5 +92,91 @@ def main():
     print(f"wrote {GOLDEN_DIR / 'kernels.npz'} with {len(out)} arrays")
 
 
+def make_rgps_pins():
+    """Regression pins for the RGPS kernel stack (cubature_forward_pass,
+    policy_backward_pass, parameter_backward_pass — rgps/src/util.cpp:232-798).
+
+    Unlike kernels.npz these are NOT independent-oracle goldens (tests/ref_impl.py
+    has no straight-loop RGPS replica; correctness is established by the reduction
+    tests in tests/test_rgps.py: Σθ→0 ⇒ GPS/exact-forward equivalence, β→∞ ⇒
+    adversary pinned to nominal).  They FREEZE the current, reduction-validated
+    implementation at fixed seeds so any future numerics drift fails loudly.
+    """
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
+    from trajopt_tpu.core.cubature import (
+        cubature_forward_pass,
+        parameter_augment_cost,
+        parameter_backward_pass,
+        policy_backward_pass,
+    )
+    from trajopt_tpu.core.types import (
+        LinearGaussianPolicy,
+        MatrixNormalParams,
+        QuadraticCost,
+    )
+
+    rng = np.random.default_rng(2024)
+    T, dx, du = 9, 3, 2
+    p1 = dx + du + 1
+    pdim = dx * p1
+    p = ref_impl.random_quadratic_problem(rng, T, dx, du)
+
+    cost = QuadraticCost(*[jnp.asarray(p[k]) for k in
+                           ["Cxx", "cx", "Cuu", "cu", "Cxu", "c0"]])
+    theta = np.concatenate(
+        [np.swapaxes(p["A"], -1, -2).reshape(T, dx * dx),
+         np.swapaxes(p["B"], -1, -2).reshape(T, du * dx),
+         p["c"]], axis=-1,
+    )
+    nominal = MatrixNormalParams(
+        mu=jnp.asarray(theta),
+        sigma=jnp.asarray(np.broadcast_to(1e-3 * np.eye(pdim), (T, pdim, pdim))),
+    )
+    ctl = LinearGaussianPolicy(
+        K=jnp.asarray(0.05 * rng.standard_normal((T, du, dx))),
+        kff=jnp.asarray(0.05 * rng.standard_normal((T, du))),
+        sigma=jnp.asarray(np.broadcast_to(np.eye(du), (T, du, du))),
+    )
+    noise = jnp.asarray(np.broadcast_to(1e-4 * np.eye(dx), (T, dx, dx)))
+    mu0 = jnp.asarray(rng.standard_normal(dx) * 0.1)
+    sigma0 = jnp.asarray(0.01 * np.eye(dx))
+
+    xdist, udist, xudist = cubature_forward_pass(mu0, sigma0, nominal, noise, ctl)
+
+    agCpp, agcp, _ = parameter_augment_cost(nominal, jnp.asarray(100.0))
+    param, value, div_p = parameter_backward_pass(
+        xdist, ctl, noise, cost, agCpp, agcp, jnp.asarray(200.0)
+    )
+    assert not bool(div_p)
+
+    lgc, pvalue, _, div_q = policy_backward_pass(
+        cost, nominal, noise, jnp.full(T, 10.0)
+    )
+    assert not bool(div_q)
+
+    np.savez_compressed(
+        GOLDEN_DIR / "rgps_pins.npz",
+        cub_mu=np.asarray(xdist.mu), cub_sigma=np.asarray(xdist.sigma),
+        cub_umu=np.asarray(udist.mu), cub_usigma=np.asarray(udist.sigma),
+        adv_mu=np.asarray(param.mu), adv_sigma=np.asarray(param.sigma),
+        pol_K=np.asarray(lgc.K), pol_kff=np.asarray(lgc.kff),
+        pol_sigma=np.asarray(lgc.sigma),
+        in_theta=theta, in_K=np.asarray(ctl.K), in_kff=np.asarray(ctl.kff),
+        in_mu0=np.asarray(mu0),
+        **{f"in_{k}": p[k] for k in ["Cxx", "cx", "Cuu", "cu", "Cxu", "c0",
+                                     "A", "B", "c"]},
+    )
+    print(f"wrote {GOLDEN_DIR / 'rgps_pins.npz'}")
+
+
 if __name__ == "__main__":
-    main()
+    if "--rgps" in sys.argv:
+        make_rgps_pins()
+    else:
+        main()

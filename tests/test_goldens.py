@@ -129,3 +129,90 @@ def test_policy_kl_golden(g):
     )
     kl = policy_kl(_policy(g), q, xdist)
     np.testing.assert_allclose(np.asarray(kl), g["kl_kl"], rtol=1e-9, atol=1e-11)
+
+
+class TestRgpsPins:
+    """Regression pins for the RGPS kernel stack (tests/goldens/rgps_pins.npz —
+    frozen outputs of the reduction-validated implementation at fixed seeds;
+    see make_goldens.make_rgps_pins for why these are pins, not oracles)."""
+
+    @pytest.fixture(scope="class")
+    def rp(self):
+        path = pathlib.Path(__file__).parent / "goldens" / "rgps_pins.npz"
+        assert path.exists(), "run tests/make_goldens.py --rgps"
+        return np.load(path)
+
+    def _inputs(self, rp):
+        from trajopt_tpu.core.types import (
+            LinearGaussianPolicy,
+            MatrixNormalParams,
+        )
+
+        T = rp["in_A"].shape[0]
+        pdim = rp["in_theta"].shape[-1]
+        dx = rp["in_A"].shape[-1]
+        nominal = MatrixNormalParams(
+            mu=jnp.asarray(rp["in_theta"]),
+            sigma=jnp.asarray(np.broadcast_to(1e-3 * np.eye(pdim),
+                                              (T, pdim, pdim))),
+        )
+        du = rp["in_K"].shape[-2]
+        ctl = LinearGaussianPolicy(
+            K=jnp.asarray(rp["in_K"]), kff=jnp.asarray(rp["in_kff"]),
+            sigma=jnp.asarray(np.broadcast_to(np.eye(du), (T, du, du))),
+        )
+        noise = jnp.asarray(np.broadcast_to(1e-4 * np.eye(dx), (T, dx, dx)))
+        return nominal, ctl, noise, T, dx
+
+    def test_cubature_pin(self, rp):
+        from trajopt_tpu.core.cubature import cubature_forward_pass
+
+        nominal, ctl, noise, T, dx = self._inputs(rp)
+        xdist, udist, _ = cubature_forward_pass(
+            jnp.asarray(rp["in_mu0"]), jnp.asarray(0.01 * np.eye(dx)),
+            nominal, noise, ctl,
+        )
+        np.testing.assert_allclose(np.asarray(xdist.mu), rp["cub_mu"],
+                                   rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(xdist.sigma), rp["cub_sigma"],
+                                   rtol=1e-10, atol=1e-13)
+        np.testing.assert_allclose(np.asarray(udist.mu), rp["cub_umu"],
+                                   rtol=1e-10, atol=1e-12)
+
+    def test_adversary_pin(self, rp):
+        from trajopt_tpu.core.cubature import (
+            parameter_augment_cost,
+            parameter_backward_pass,
+        )
+        from trajopt_tpu.core.types import GaussianSequence, QuadraticCost
+
+        nominal, ctl, noise, T, dx = self._inputs(rp)
+        cost = QuadraticCost(*[jnp.asarray(rp[f"in_{k}"]) for k in
+                               ["Cxx", "cx", "Cuu", "cu", "Cxu", "c0"]])
+        xdist = GaussianSequence(mu=jnp.asarray(rp["cub_mu"]),
+                                 sigma=jnp.asarray(rp["cub_sigma"]))
+        agCpp, agcp, _ = parameter_augment_cost(nominal, jnp.asarray(100.0))
+        param, _, div = parameter_backward_pass(
+            xdist, ctl, noise, cost, agCpp, agcp, jnp.asarray(200.0)
+        )
+        assert not bool(div)
+        np.testing.assert_allclose(np.asarray(param.mu), rp["adv_mu"],
+                                   rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(np.asarray(param.sigma), rp["adv_sigma"],
+                                   rtol=1e-9, atol=1e-12)
+
+    def test_policy_pin(self, rp):
+        from trajopt_tpu.core.cubature import policy_backward_pass
+        from trajopt_tpu.core.types import QuadraticCost
+
+        nominal, ctl, noise, T, dx = self._inputs(rp)
+        cost = QuadraticCost(*[jnp.asarray(rp[f"in_{k}"]) for k in
+                               ["Cxx", "cx", "Cuu", "cu", "Cxu", "c0"]])
+        lgc, _, _, div = policy_backward_pass(
+            cost, nominal, noise, jnp.full(T, 10.0)
+        )
+        assert not bool(div)
+        np.testing.assert_allclose(np.asarray(lgc.K), rp["pol_K"],
+                                   rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(np.asarray(lgc.kff), rp["pol_kff"],
+                                   rtol=1e-9, atol=1e-11)

@@ -228,3 +228,36 @@ def test_ilqr_solver_time_mesh_matches_pscan():
                                np.asarray(st_ps.last_return), rtol=1e-7)
     np.testing.assert_allclose(np.asarray(st_sh.uref), np.asarray(st_ps.uref),
                                rtol=1e-6, atol=1e-8)
+
+
+def test_ilqr_solver_2d_dp_time_mesh():
+    """The full 2-D mesh story (VERDICT r1 #4): a ('dp', 'time') mesh with the
+    MPC/problem batch sharded over 'dp' while each solve's horizon is
+    block-sharded over 'time' (ppermute-ladder halos) — results equal the
+    single-device pscan engine."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    import trajopt_tpu
+    from trajopt_tpu.parallel.mpc import make_ilqr_solver
+
+    devices = np.array(jax.devices("cpu")[:8]).reshape(2, 4)
+    mesh = Mesh(devices, axis_names=("dp", "time"))
+
+    env = trajopt_tpu.make("Pendulum-TO-v0", dt=0.05).replace(uw=(1e-5,))
+    x0 = jnp.asarray(np.array(env.x0))
+    x0s = x0[None] + 0.05 * jnp.asarray([[0.0, 0.0], [1.0, -1.0], [-1.0, 0.5],
+                                         [0.5, 0.5]])
+    x0s = jax.device_put(x0s, NamedSharding(mesh, P("dp")))
+
+    solve_t = make_ilqr_solver(env, nb_steps=24, nb_iter=3, time_mesh=mesh)
+    st_2d, _ = jax.jit(jax.vmap(lambda x: solve_t(x)))(x0s)
+
+    solve_ref = make_ilqr_solver(env, nb_steps=24, nb_iter=3, backward="pscan")
+    st_ref, _ = jax.jit(jax.vmap(lambda x: solve_ref(x)))(
+        jax.device_put(x0s, jax.devices("cpu")[0])
+    )
+
+    np.testing.assert_allclose(np.asarray(st_2d.last_return),
+                               np.asarray(st_ref.last_return), rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(st_2d.uref), np.asarray(st_ref.uref),
+                               rtol=1e-6, atol=1e-8)
