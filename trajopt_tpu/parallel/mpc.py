@@ -241,6 +241,7 @@ def make_ilqr_solver_batched(
     reg: int = 1,
     backward: str = "scan",
     time_chunk: int = 8,
+    fast_line_search: bool = False,
 ):
     """Batch-native iLQR: ``solve(x0s (N, dx), kff_init (N, T, du)|None)``.
 
@@ -380,6 +381,55 @@ def make_ilqr_solver_batched(
 
         return jax.vmap(one)(K, kff, xref, uref)  # each (N, nA, ...)
 
+    def forward_first(K, kff, xref, uref):
+        def one(K1, kff1, xr, ur):
+            ctl = LinearPolicy(K=K1, kff=kff1)
+            return rollout_tracking(env, ctl, alphas[0], xr[0], xr, ur, weighting)
+
+        return jax.vmap(one)(K, kff, xref, uref)  # each (N, ...)
+
+    def line_search(K_n, kff_n, dV, backpass_done, state):
+        """Two-phase line search with first-accept semantics preserved EXACTLY:
+        the reference walks the α-grid in order and stops at the first
+        acceptable candidate (ilqr.py:185-201), and the grid starts at
+        α = alphas[0] — so when EVERY live instance accepts the first α, the
+        other 10 rollout sweeps can never be selected and are skipped via a
+        batch-wide ``lax.cond`` (the dominant cost of an iteration is the
+        sequential rollout scan).  If any live instance rejects, the full grid
+        is evaluated and the selection logic is byte-for-byte the round-1 path
+        (the fast branch fills the unused α slots with +inf cost, which the
+        first-acceptable argmax can never pick).
+
+        Opt-in (``fast_line_search=True``): a win when all instances usually
+        accept α = alphas[0] — warm-started MPC in steady state, small or
+        homogeneous batches — and a measured ~20% LOSS on large diverse
+        batches (batch-2048 cartpole bench: 31.8 vs 26.2 ms/iter), where some
+        instance rejects nearly every iteration and the wave-1 sweep plus the
+        cond just add work."""
+        N = state.lmbda.shape[0]
+        nA = alphas.shape[0]
+
+        s1, a1, c1 = forward_first(K_n, kff_n, state.xref, state.uref)
+        ret1 = jnp.sum(c1, axis=1)
+        dret1 = state.last_return - ret1
+        exp1 = -1.0 * alphas[0] * (dV[:, 0] + alphas[0] * dV[:, 1])
+        ok1 = (dret1 / exp1 >= min_imp) & backpass_done & jnp.isfinite(ret1)
+
+        def fast(_):
+            bc = lambda x: jnp.broadcast_to(x[:, None], (N, nA) + x.shape[1:])
+            costs = jnp.concatenate(
+                [c1[:, None], jnp.full((N, nA - 1) + c1.shape[1:], jnp.inf,
+                                       c1.dtype)],
+                axis=1,
+            )
+            return bc(s1), bc(a1), costs
+
+        def slow(_):
+            return forward_all(K_n, kff_n, state.xref, state.uref)
+
+        all_fast = jnp.all(ok1 | state.done)
+        return lax.cond(all_fast, fast, slow, None)
+
     def iteration(state: ILQRState, _):
         N = state.lmbda.shape[0]
         A, B, cost = jax.vmap(expand)(state.xref, state.uref)
@@ -394,9 +444,14 @@ def make_ilqr_solver_batched(
         )
         grad_done = (g_norm < tolgrad) & (lmbda < 1e-5)
 
-        states_all, actions_all, costs_all = forward_all(
-            K_n, kff_n, state.xref, state.uref
-        )
+        if fast_line_search:
+            states_all, actions_all, costs_all = line_search(
+                K_n, kff_n, dV, backpass_done, state
+            )
+        else:
+            states_all, actions_all, costs_all = forward_all(
+                K_n, kff_n, state.xref, state.uref
+            )
         returns = jnp.sum(costs_all, axis=2)                          # (N, nA)
         dreturns = state.last_return[:, None] - returns
         expected = -1.0 * alphas[None] * (dV[:, :1] + alphas[None] * dV[:, 1:])
