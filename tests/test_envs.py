@@ -136,6 +136,25 @@ def test_nlink_matches_standard_two_link_equations():
     np.testing.assert_allclose(np.asarray(got), [dth1, dth2, ddth1, ddth2], rtol=1e-9)
 
 
+def test_nlink_matches_atkeson_four_link_closed_form():
+    """nlink_ode(n=4) vs the transcribed Atkeson closed-form oracle
+    (ref_impl.quad_pendulum_ode_np <- quad_pendulum.py:62-228) at random states —
+    the fidelity check VERDICT r2 #5 asked for on the largest analytic env."""
+    from ref_impl import quad_pendulum_ode_np
+
+    masses = (1.0, 1.0, 1.0, 1.0)
+    lengths = (1.0, 1.0, 1.0, 1.0)
+    friction = (0.025, 0.025, 0.025, 0.025)
+
+    rng = np.random.default_rng(7)
+    for _ in range(10):
+        x = jnp.asarray(rng.uniform(-3.0, 3.0, size=8))
+        u = jnp.asarray(rng.uniform(-5.0, 5.0, size=4))
+        got = np.asarray(nlink_ode(x, u, masses, lengths, friction))
+        want = quad_pendulum_ode_np(np.asarray(x), np.asarray(u))
+        np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
 @pytest.mark.parametrize("n", [2, 4])
 def test_nlink_conserves_energy_without_friction(n):
     """Frictionless, unactuated chain conserves total energy under fine RK4."""
