@@ -29,6 +29,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import Array, lax
 
 from ..core.cubature import (
@@ -193,8 +194,12 @@ def make_rgps_solver(
             return (beta_n, min_b, max_b, chosen, best_b, best_g, done), None
 
         dt = mu0.dtype
+        # Upper bracket: the host uses 1e64 (mbrgps.py:423), which overflows a
+        # float32 cast; clamp to a dtype-representable bound whose geometric-mean
+        # products with min_b = 1e-4 stay finite.
+        big = 1e64 if np.finfo(np.dtype(dt)).max > 1e65 else 1e30
         init = (
-            jnp.asarray(1e16, dt), jnp.asarray(1e-4, dt), jnp.asarray(1e64, dt),
+            jnp.asarray(1e16, dt), jnp.asarray(1e-4, dt), jnp.asarray(big, dt),
             jnp.asarray(1e16, dt), jnp.asarray(1e16, dt), jnp.asarray(jnp.inf, dt),
             jnp.asarray(False),
         )
