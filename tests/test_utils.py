@@ -152,3 +152,48 @@ def test_viz_surface():
     ric.run()
     fig = ric.plot(show=False)
     assert len(fig.axes) == 3
+
+
+def test_host_solver_metrics_match_trace():
+    """Every host solver run() logs through its MetricsRecorder; the accepted-
+    iteration 'ret' history must equal the returned trace (VERDICT r2 #8)."""
+    env = trajopt_tpu.make("Pendulum-TO-v0", dt=0.05)
+    solver = iLQR(env, nb_steps=12, init_state=env.x0)
+    trace = solver.run(nb_iter=4)
+
+    hist = solver.metrics.history("ret")
+    np.testing.assert_allclose(hist, trace, rtol=1e-12)
+    assert all(r["accepted"] for r in solver.metrics.records if "ret" in r)
+    assert solver.metrics.table()  # renders
+
+    # gps: same contract
+    from trajopt_tpu.solvers.gps import MBGPS
+
+    genv = trajopt_tpu.make("LQR-TO-v0", sigma_scale=1e-4)
+    gps = MBGPS(genv, nb_steps=10, init_state=genv.init(), kl_bound=5.0)
+    gtrace = gps.run(nb_iter=2)
+    np.testing.assert_allclose(gps.metrics.history("ret"), gtrace, rtol=1e-12)
+
+
+def test_compiled_solver_structured_metrics():
+    """metrics=True switches the compiled iLQR trace to a per-iteration pytree."""
+    import jax.numpy as jnp
+    from trajopt_tpu.parallel.mpc import ILQRIterMetrics, make_ilqr_solver, \
+        make_ilqr_solver_batched
+
+    env = trajopt_tpu.make("Pendulum-TO-v0", dt=0.05)
+    solve = make_ilqr_solver(env, nb_steps=12, nb_iter=4, metrics=True)
+    state, m = solve(jnp.asarray(env.x0))
+    assert isinstance(m, ILQRIterMetrics)
+    assert m.ret.shape == (4,) and m.lmbda.shape == (4,) and m.done.shape == (4,)
+    np.testing.assert_allclose(float(m.ret[-1]), float(state.last_return))
+
+    plain = make_ilqr_solver(env, nb_steps=12, nb_iter=4)
+    _, tr = plain(jnp.asarray(env.x0))
+    np.testing.assert_allclose(np.asarray(m.ret), np.asarray(tr))
+
+    bsolve = make_ilqr_solver_batched(env, nb_steps=12, nb_iter=4, metrics=True)
+    x0s = jnp.tile(jnp.asarray(env.x0), (3, 1))
+    bstate, bm = bsolve(x0s)
+    assert bm.ret.shape == (4, 3)
+    np.testing.assert_allclose(np.asarray(bm.ret[-1]), np.asarray(bstate.last_return))

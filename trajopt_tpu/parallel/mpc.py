@@ -26,6 +26,17 @@ from ..core.types import LinearPolicy
 from ..solvers.common import DEFAULT_ALPHAS, make_weighting, rollout_tracking
 
 
+class ILQRIterMetrics(NamedTuple):
+    """Per-iteration structured metrics emitted by the compiled solvers when
+    ``metrics=True`` — the compiled-side analogue of utils.metrics.MetricsRecorder
+    (the reference only prints, mbgps.py:313-317)."""
+
+    ret: Array      # accepted return after this iteration
+    lmbda: Array    # LM regularizer after accept/reject
+    dlmbda: Array   # LM multiplier state
+    done: Array     # convergence flag
+
+
 class ILQRState(NamedTuple):
     xref: Array         # (T+1, dx)
     uref: Array         # (T, du)
@@ -54,6 +65,7 @@ def make_ilqr_solver(
     backward: str = "scan",
     time_mesh=None,
     time_axis: str = "time",
+    metrics: bool = False,
 ):
     """Build ``solve(x0, uref_init) -> (state, actions, return)`` — the iLQR outer
     loop of ilqr/ilqr.py:136-237 as pure ``lax`` control flow.
@@ -194,7 +206,11 @@ def make_ilqr_solver(
             )
 
         state = lax.cond(state.done, lambda s: s, work, state)
-        return state, state.last_return
+        out = (
+            ILQRIterMetrics(state.last_return, state.lmbda, state.dlmbda, state.done)
+            if metrics else state.last_return
+        )
+        return state, out
 
     def solve(x0: Array, kff_init: Array | None = None):
         dx, du = env.dm_state, env.dm_act
@@ -242,6 +258,7 @@ def make_ilqr_solver_batched(
     backward: str = "scan",
     time_chunk: int = 8,
     fast_line_search: bool = False,
+    metrics: bool = False,
 ):
     """Batch-native iLQR: ``solve(x0s (N, dx), kff_init (N, T, du)|None)``.
 
@@ -494,7 +511,12 @@ def make_ilqr_solver_batched(
             ),
             state, new,
         )
-        return merged, merged.last_return
+        out = (
+            ILQRIterMetrics(merged.last_return, merged.lmbda, merged.dlmbda,
+                            merged.done)
+            if metrics else merged.last_return
+        )
+        return merged, out
 
     def solve(x0s: Array, kff_init: Array | None = None):
         N = x0s.shape[0]

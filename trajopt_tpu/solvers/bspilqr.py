@@ -135,6 +135,9 @@ class BSPiLQR:
         )
 
     def run(self, nb_iter: int = 25, verbose: bool = False) -> list[float]:
+        from ..utils.metrics import MetricsRecorder
+        if not hasattr(self, "metrics"):
+            self.metrics = MetricsRecorder("bspilqr")
         trace = []
 
         # init trajectory over the α-grid (bspilqr.py:129-137)
@@ -150,6 +153,8 @@ class BSPiLQR:
                 break
             print("Initial trajectory diverges")
         trace.append(self.last_return)
+        self.metrics.log(-1, ret=self.last_return, accepted=True,
+                         lmbda=self.lmbda)
 
         for it in range(nb_iter):
             cost, dyn = self._expand(self.bref_mu, self.bref_sigma, self.uref)
@@ -205,14 +210,18 @@ class BSPiLQR:
                 self.ctl = lc
                 trace.append(ret)
 
+                self.metrics.log(it, ret=ret, dreturn=dreturn,
+                                 lmbda=self.lmbda, g_norm=g_norm, accepted=True)
                 if verbose:
-                    print("iter: ", it, " return: ", ret)
+                    print(self.metrics.format_last())
 
                 if dreturn < self.tolfun:
                     break
             else:
                 self.dlmbda = max(self.dlmbda * self.mult_lmbda, self.mult_lmbda)
                 self.lmbda = max(self.lmbda * self.dlmbda, self.min_lmbda)
+                self.metrics.log(it, lmbda=self.lmbda, g_norm=g_norm,
+                                 accepted=False)
                 if self.lmbda > self.max_lmbda:
                     break
 

@@ -220,11 +220,15 @@ class eLQR:
         return plot_reference_trajectory(self.xref, self.uref, show=show)
 
     def run(self, nb_iter: int = 10, verbose: bool = False) -> list[float]:
+        from ..utils.metrics import MetricsRecorder
+        if not hasattr(self, "metrics"):
+            self.metrics = MetricsRecorder("elqr")
         trace = []
 
         xs, us, cs = self._rollout(self.ctl)
         self.xref, self.uref = xs, us
         trace.append(float(jnp.sum(cs)))
+        self.metrics.log(-1, ret=trace[-1])
 
         state = self.x0
         for it in range(nb_iter):
@@ -238,7 +242,8 @@ class eLQR:
             xs, us, cs = self._rollout(self.ctl)
             self.xref, self.uref = xs, us
             trace.append(float(jnp.sum(cs)))
+            self.metrics.log(it, ret=trace[-1])
             if verbose:
-                print("iter: ", it, " return: ", trace[-1])
+                print(self.metrics.format_last())
 
         return trace

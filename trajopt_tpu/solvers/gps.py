@@ -186,6 +186,9 @@ class MBGPS:
     plot_distributions = plot
 
     def run(self, nb_iter: int = 10, verbose: bool = False) -> list[float]:
+        from ..utils.metrics import MetricsRecorder
+        if not hasattr(self, "metrics"):
+            self.metrics = MetricsRecorder("mbgps")
         trace = []
 
         xdist, udist, lgd, costs = self._propagate(self.ctl)
@@ -193,6 +196,7 @@ class MBGPS:
         self.cost = self._quadratize(xdist.mu, udist.mu)
         self.last_return = float(jnp.sum(costs))
         trace.append(self.last_return)
+        self.metrics.log(-1, ret=self.last_return, accepted=True)
 
         n_alpha = self.nb_steps if self.kl_stepwise else 1
         for it in range(nb_iter):
@@ -257,16 +261,17 @@ class MBGPS:
                 if self.kl_adaptive:
                     self.kl_bound = self.kl_base * self.kl_mult
 
+                self.metrics.log(
+                    it, ret=ret, kl_req=float(np.sum(self.kl_bound)),
+                    kl_act=float(np.sum(kl_np)), alpha=float(np.sum(self.alpha)),
+                    accepted=True,
+                )
                 if verbose:
-                    if it == 0:
-                        print("%6s %8s %8s" % ("", "kl", ""))
-                        print("%6s %6s %6s %12s" % ("iter", "req.", "act.", "return"))
-                    print(
-                        "%6i %6.2f %6.2f %12.2f"
-                        % (it, np.sum(self.kl_bound), np.sum(kl_np), ret)
-                    )
+                    print(self.metrics.format_last())
             else:
                 print("Something is wrong, KL not satisfied")
+                self.metrics.log(it, kl_req=float(np.sum(self.kl_bound)),
+                                 kl_act=float(np.sum(kl_np)), accepted=False)
                 self.alpha = 1e8 * np.ones(n_alpha)
 
         return trace
@@ -326,6 +331,9 @@ class MFGPS(MBGPS):
     def run(
         self, nb_iter: int = 10, nb_episodes: int = 50, verbose: bool = False
     ) -> list[float]:
+        from ..utils.metrics import MetricsRecorder
+        if not hasattr(self, "metrics"):
+            self.metrics = MetricsRecorder("mfgps")
         trace = []
 
         # sample real rollouts, learn time-varying linear dynamics (mfgps.py:95-125)
@@ -342,6 +350,7 @@ class MFGPS(MBGPS):
 
         self.last_return = float(jnp.mean(jnp.sum(self.data["c"], axis=1)))
         trace.append(self.last_return)
+        self.metrics.log(-1, ret=self.last_return, accepted=True)
 
         n_alpha = self.nb_steps if self.kl_stepwise else 1
         for it in range(nb_iter):
@@ -391,10 +400,13 @@ class MFGPS(MBGPS):
                 trace.append(ret)
                 self.last_return = ret
 
+                self.metrics.log(it, ret=ret, kl_act=float(np.sum(kl_np)),
+                                 accepted=True)
                 if verbose:
-                    print("%6i kl: %6.2f return: %12.2f" % (it, np.sum(kl_np), ret))
+                    print(self.metrics.format_last())
             else:
                 print("Something is wrong, KL not satisfied")
+                self.metrics.log(it, kl_act=float(np.sum(kl_np)), accepted=False)
                 self.alpha = 1e8 * np.ones(n_alpha)
 
         return trace

@@ -96,6 +96,9 @@ class iLQR:
         self.qfunc: QuadraticQValue | None = None
         self.last_return = -np.inf
 
+        from ..utils.metrics import MetricsRecorder
+        self.metrics = MetricsRecorder("ilqr")
+
         self._expand = jax.jit(self._expand_impl)
         self._backward = jax.jit(partial(ilqr_backward, reg=self.reg))
         self._forward_all = jax.jit(self._forward_all_impl)
@@ -145,6 +148,8 @@ class iLQR:
                 break
             print("Initial trajectory diverges")
         trace.append(self.last_return)
+        self.metrics.log(-1, ret=self.last_return, accepted=True,
+                         lmbda=self.lmbda)
 
         for it in range(nb_iter):
             A, B, cost = self._expand(self.xref, self.uref)
@@ -203,14 +208,19 @@ class iLQR:
                 self.vfunc, self.qfunc, self.ctl = value, qvalue, lc
                 trace.append(self.last_return)
 
+                self.metrics.log(it, ret=ret, dreturn=dreturn,
+                                 lmbda=self.lmbda, g_norm=g_norm,
+                                 alpha=self.alpha, accepted=True)
                 if verbose:
-                    print("iter: ", it, " return: ", ret)
+                    print(self.metrics.format_last())
 
                 if dreturn < self.tolfun:
                     break
             else:
                 self.dlmbda = max(self.dlmbda * self.mult_lmbda, self.mult_lmbda)
                 self.lmbda = max(self.lmbda * self.dlmbda, self.min_lmbda)
+                self.metrics.log(it, lmbda=self.lmbda, g_norm=g_norm,
+                                 accepted=False)
                 if self.lmbda > self.max_lmbda:
                     break
 

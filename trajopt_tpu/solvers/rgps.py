@@ -140,6 +140,9 @@ class _RGPSBase:
                 self.mu0, self.sigma0, param, self.noise, ctl
             )
         )
+        from ..utils.metrics import MetricsRecorder
+        self.metrics = MetricsRecorder(type(self).__name__.lower())
+
         self._policy_dual_jit = jax.jit(self._policy_dual_impl)
         self._policy_solution_jit = jax.jit(self._policy_solution_impl)
         self._param_fixed_point_jit = jax.jit(self._param_fixed_point_impl)
@@ -385,14 +388,15 @@ class _RGPSBase:
         self.ctl = lgc
         self.vfunc, self.qfunc = xvalue, xuvalue
         trace.append(ret)
+        self.metrics.log(
+            it, ret=ret,
+            param_kl_req=self.param_nominal_kl_bound, param_kl_act=param_nom_kl,
+            policy_kl_req=float(np.sum(self.policy_kl_bound)),
+            policy_kl_act=float(np.sum(policy_kl_np)),
+            beta=float(self.beta), accepted=True,
+        )
         if verbose:
-            if it == 0:
-                print("%9s %8s %7s %8s %8s" % ("", "param_kl", "", "policy_kl", ""))
-                print("%6s %6s %6s %2s %6s %6s %12s"
-                      % ("iter", "req.", "act.", "", "req.", "act.", "return"))
-            print("%6i %.2e %.2e %6.2f %6.2f %12.2f"
-                  % (it, self.param_nominal_kl_bound, param_nom_kl,
-                     np.sum(self.policy_kl_bound), np.sum(policy_kl_np), ret))
+            print(self.metrics.format_last())
 
     def _policy_kl_ok(self, policy_kl_np):
         return bool(
@@ -490,6 +494,8 @@ class MBRGPS(_RGPSBase):
                     float(jnp.sum(costs)), trace, verbose,
                 )
             else:
+                self.metrics.log(it, policy_kl_act=float(np.sum(kl_np)),
+                                 accepted=False)
                 print("Something is wrong, KL not satisfied: req",
                       np.sum(self.policy_kl_bound), "act.", np.sum(kl_np))
                 n_alpha = self.nb_steps if self.policy_kl_stepwise else 1
@@ -562,6 +568,8 @@ class LRGPS(_RGPSBase):
                     trace, verbose,
                 )
             else:
+                self.metrics.log(it, policy_kl_act=float(np.sum(kl_np)),
+                                 accepted=False)
                 print("Something is wrong, KL not satisfied: req",
                       np.sum(self.policy_kl_bound), "act.", np.sum(kl_np))
                 n_alpha = self.nb_steps if self.policy_kl_stepwise else 1
@@ -645,6 +653,8 @@ class MFRGPS(_RGPSBase):
                     trace, verbose,
                 )
             else:
+                self.metrics.log(it, policy_kl_act=float(np.sum(kl_np)),
+                                 accepted=False)
                 print("Something is wrong, KL not satisfied: req",
                       np.sum(self.policy_kl_bound), "act.", np.sum(kl_np))
                 n_alpha = self.nb_steps if self.policy_kl_stepwise else 1

@@ -34,6 +34,23 @@ class MetricsRecorder:
     def to_jsonl(self) -> str:
         return "\n".join(json.dumps(r) for r in self.records)
 
+    def format_last(self) -> str:
+        """Render the newest record as a fixed-width row (with a header line when
+        it is the first record) — what solver ``run(verbose=True)`` prints."""
+        if not self.records:
+            return ""
+        rec = self.records[-1]
+        keys = [k for k in rec if k != "wall_time"]
+        row = " ".join(
+            f"{rec[k]:>12.4g}" if isinstance(rec[k], (int, float))
+            else f"{str(rec[k]):>12s}"
+            for k in keys
+        )
+        if len(self.records) == 1:
+            header = " ".join(f"{k:>12s}" for k in keys)
+            return header + "\n" + row
+        return row
+
     def table(self) -> str:
         """Reference-style fixed-width iteration table."""
         if not self.records:
