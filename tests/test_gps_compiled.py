@@ -249,3 +249,29 @@ def test_sharded_regression_matches_unsharded():
                                rtol=1e-9, atol=1e-11)
     np.testing.assert_allclose(np.asarray(shd.sigma), np.asarray(ref.sigma),
                                rtol=1e-8, atol=1e-12)
+
+
+def test_compiled_stepwise_matches_host_on_pendulum():
+    """kl_stepwise=True: the compiled vmapped per-timestep bisection must land on
+    the host SLSQP vector dual's fixed point (both solve KL_t(α) = bound ∀t —
+    reference gps/mbgps.py:18-22, 173-195).  VERDICT r2 #4."""
+    env = trajopt_tpu.make("Pendulum-TO-v0", dt=0.05).replace(uw=(1e-5,))
+    mu0, sigma0 = env.init()
+    bound = 0.1
+
+    solve = jax.jit(make_mbgps_solver(
+        env, nb_steps=40, nb_iter=6, kl_bound=bound, kl_stepwise=True,
+    ))
+    state, trace = solve(jax.random.PRNGKey(0), jnp.asarray(mu0), jnp.asarray(sigma0))
+
+    host = MBGPS(env, nb_steps=40, init_state=env.init(), kl_bound=bound,
+                 kl_stepwise=True)
+    host_trace = host.run(nb_iter=6)
+
+    tr = np.asarray(trace)
+    assert np.all(np.isfinite(tr))
+    # both optimizers satisfy the same per-t constraint system; the accepted
+    # return sequences must agree tightly
+    np.testing.assert_allclose(tr, np.asarray(host_trace), rtol=1e-3)
+    # the compiled dual is per-timestep
+    assert state.alpha.shape == (40,)
