@@ -113,3 +113,30 @@ def test_rgps_batch_sharded_matches_unsharded():
                                rtol=1e-7, atol=1e-9)
     np.testing.assert_allclose(np.asarray(data["K"]), np.asarray(ref["K"]),
                                rtol=1e-6, atol=1e-8)
+
+
+def test_compiled_regularized_adversary_matches_host():
+    """iterative_adversary=True: the compiled masked-scan regularized adversary
+    (reguarlized_parameter_optimization, mbrgps.py:633-676) must land on the
+    host's iterated small-KL attack and trace.  VERDICT r2 #5."""
+    env = trajopt_tpu.make("LQR-TO-v1")
+    mu0, sigma0 = env.init()
+    kw = dict(
+        nb_steps=20, init_action_sigma=10.0, policy_kl_bound=0.25,
+        param_nominal_kl_bound=50.0, nominal_variance=1e-8,
+    )
+
+    solve = jax.jit(make_rgps_solver(
+        env, variant="lr", nb_iter=3, iterative_adversary=True,
+        param_regularizer_kl_bound=10.0, **kw,
+    ))
+    state, trace = solve(jnp.asarray(mu0), jnp.asarray(sigma0))
+
+    host = LRGPS(env, init_state=env.init(), param_regularizer_kl_bound=10.0, **kw)
+    host_trace = host.run(nb_iter=3, iterative_adversary=True)
+
+    np.testing.assert_allclose(np.asarray(trace), np.asarray(host_trace), rtol=1e-4)
+    np.testing.assert_allclose(float(state.beta), host.eta, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(state.ctl.K), np.asarray(host.ctl.K), rtol=1e-3, atol=1e-6
+    )

@@ -18,9 +18,11 @@ min-max alternation compiles:
   ``lax.scan``: a full robust-GPS solve per XLA program, vmappable over seeds /
   initial states — the robust analogue of the compiled GPS farms.
 
-Only ``policy_kl_stepwise=False`` and the non-iterative adversary are compiled
-(the reference's defaults); use the host classes for the stepwise / regularized
-variants.
+``iterative_adversary=True`` compiles the regularized adversary
+(``reguarlized_parameter_optimization``, mbrgps.py:633-676) as masked
+fixed-length scans: small-KL η-bisected steps anchored at the last accepted
+iterate until the total KL-to-nominal budget is spent.  Only
+``policy_kl_stepwise=False`` is compiled; use the host classes for stepwise.
 """
 
 from __future__ import annotations
@@ -81,7 +83,11 @@ def make_rgps_solver(
     slew_rate: bool = False,
     action_penalty=None,
     optimize_adversary: bool = True,
+    iterative_adversary: bool = False,
+    param_regularizer_kl_bound: float = 1.0,
     beta_iters: int = 50,
+    eta_iters: int = 10,
+    reg_steps: int = 20,
     alpha_bisect_iters: int = 64,
     fp_iters: int = 100,
     nb_episodes: int = 25,
@@ -214,6 +220,73 @@ def make_rgps_solver(
         )
         return param, beta_star
 
+    def regularized_adversary(ctl, cost, xdist, nominal, mu0, sigma0, noise):
+        """Iterated small-KL adversary (mbrgps.py:633-676) as masked fixed-length
+        scans.  Each of ``reg_steps`` outer steps runs the host's geometric
+        η-bisection (mbrgps.py:500-532) against the per-step regularizer bound
+        with the KL penalty anchored at the LAST accepted iterate, then accepts
+        the step only if its KL lands in the 10% band; the outer loop masks to
+        identity once the total KL-to-nominal budget is spent — the compiled
+        mirror of the host's ``while param_nom_kl < bound`` guard loop."""
+        reg_bound = param_regularizer_kl_bound
+        nom_bound = param_nominal_kl_bound
+        dt = mu0.dtype
+        big = 1e64 if np.finfo(np.dtype(dt)).max > 1e65 else 1e30
+
+        def solve_at(eta, last):
+            agCpp, agcp, _ = parameter_augment_cost(last, eta)
+            _, param, diverged = fixed_point(
+                agCpp, agcp, ctl, cost, xdist, eta, mu0, sigma0, noise
+            )
+            return param, diverged
+
+        def eta_bisect(last, eta0):
+            """One inner bisection: fresh brackets, first probe = carried η."""
+
+            def body(carry, _):
+                eta, min_e, max_e, chosen, best_e, best_g, done = carry
+                param, diverged = solve_at(eta, last)
+                hg = reg_bound - nominal_kl(param, last)
+                bad = diverged | ~jnp.isfinite(hg)
+                upd = ~done
+                better = upd & ~bad & (hg < best_g)
+                best_e = jnp.where(better, eta, best_e)
+                best_g = jnp.where(better, hg, best_g)
+                hit = upd & ~bad & (jnp.abs(hg) < 0.1 * reg_bound)
+                chosen = jnp.where(hit, eta, chosen)
+                done = done | hit
+                max_e = jnp.where(upd & ~bad & (hg > 0) & ~hit, eta, max_e)
+                min_e = jnp.where(upd & (bad | (~bad & (hg <= 0) & ~hit)), eta, min_e)
+                eta_n = jnp.where(done, eta, jnp.sqrt(min_e) * jnp.sqrt(max_e))
+                return (eta_n, min_e, max_e, chosen, best_e, best_g, done), None
+
+            init = (
+                eta0, jnp.asarray(1e-4, dt), jnp.asarray(big, dt),
+                eta0, eta0, jnp.asarray(jnp.inf, dt), jnp.asarray(False),
+            )
+            (eta, _, _, chosen, best_e, _, done), _ = lax.scan(
+                body, init, None, length=eta_iters
+            )
+            return jnp.where(done, chosen, best_e)
+
+        def outer(carry, _):
+            last, eta, done = carry
+            eta_star = eta_bisect(last, eta)
+            param, diverged = solve_at(eta_star, last)
+            reg_kl = nominal_kl(param, last)
+            ok = (
+                (~done) & (~diverged)
+                & (jnp.abs(reg_kl - reg_bound) < 0.1 * reg_bound)
+            )
+            last_n = jax.tree.map(lambda a, b: jnp.where(ok, a, b), param, last)
+            nom_kl_n = nominal_kl(last_n, nominal)
+            done_n = done | (nom_kl_n >= nom_bound)
+            return (last_n, eta_star, done_n), None
+
+        init = (nominal, jnp.asarray(1e16, dt), jnp.asarray(False))
+        (last, eta, _), _ = lax.scan(outer, init, None, length=reg_steps)
+        return last, eta
+
     # ---------------------------------------------------------------- policy side
     def policy_kl_at(log_alpha, cost, ctl, param, mu0, sigma0, noise):
         alpha = jnp.full(T, 10.0 ** log_alpha, mu0.dtype)
@@ -282,7 +355,8 @@ def make_rgps_solver(
         mu0, sigma0 = state.xdist.mu[0], state.xdist.sigma[0]
 
         if optimize_adversary:
-            param, beta = adversary(
+            adv = regularized_adversary if iterative_adversary else adversary
+            param, beta = adv(
                 state.ctl, state.cost, state.xdist, state.nominal, mu0, sigma0,
                 state.noise,
             )
