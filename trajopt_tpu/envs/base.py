@@ -82,6 +82,37 @@ class TrajEnv:
     def clip_state(self, x: Array) -> Array:
         return jnp.clip(x, -self.xlim, self.xlim)
 
+    # -- tile-level protocol (component-wise physics) ------------------------------
+    # Envs that define ``_ode_parts(x, u) -> tuple`` (indexing x[i]/u[j] and
+    # returning per-component derivatives) get two things for free: the stacked
+    # ``_ode`` below, and eligibility for the lane-major Pallas rollout kernel
+    # (core/pallas_rollout.py), which calls ``_ode_parts`` with *lists of
+    # (sublane, lane) tiles* — each component one fully-occupied VPU tile.
+    def _ode_parts(self, x, u) -> tuple:
+        raise NotImplementedError(
+            f"{type(self).__name__} does not define component-wise dynamics"
+        )
+
+    def _ode(self, x: Array, u: Array) -> Array:
+        return jnp.stack(self._ode_parts(x, u))
+
+    def _periodic_parts(self, x) -> tuple:
+        """Component-wise ``_periodic_state`` (identity unless periodic)."""
+        if getattr(self, "periodic", False):
+            raise NotImplementedError(
+                f"{type(self).__name__} is periodic but defines no _periodic_parts"
+            )
+        return tuple(x[i] for i in range(self.dm_state))
+
+    def features_parts(self, x) -> tuple:
+        """Component-wise ``features`` (identity by default)."""
+        return tuple(x[i] for i in range(self.dm_state))
+
+    @property
+    def supports_tiles(self) -> bool:
+        """True when the env opts into the tile-level protocol."""
+        return type(self)._ode_parts is not TrajEnv._ode_parts
+
     # -- core protocol -----------------------------------------------------------
     def dynamics(self, x: Array, u: Array) -> Array:
         u = self.clip_act(u)

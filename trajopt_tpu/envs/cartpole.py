@@ -42,7 +42,7 @@ class Cartpole(TrajEnv):
     def sigma0(self):
         return self.sigma0_scale * jnp.eye(self.dm_state)
 
-    def _ode(self, x: Array, u: Array) -> Array:
+    def _ode_parts(self, x, u) -> tuple:
         g = 9.81
         Mc, Mp = 0.37, 0.127
         Mt = Mc + Mp
@@ -57,11 +57,16 @@ class Cartpole(TrajEnv):
         denom = l * (4.0 / 3.0 - Mp * cth**2 / Mt)
         ddth = num / denom
         ddx = (f + Mp * l * (dth**2 * sth - ddth * cth)) / Mt
-        return jnp.stack([dq, dth, ddx, ddth])
+        return (dq, dth, ddx, ddth)
+
+    def _periodic_parts(self, x) -> tuple:
+        if self.periodic:
+            return (x[0], wrap_angle(x[1]), x[2], x[3])
+        return (x[0], x[1], x[2], x[3])
 
     def _periodic_state(self, x: Array) -> Array:
         if self.periodic:
-            return jnp.stack([x[0], wrap_angle(x[1]), x[2], x[3]])
+            return jnp.stack(self._periodic_parts(x))
         return x
 
 
@@ -72,8 +77,11 @@ class CartpoleWithCartesianCost(Cartpole):
     g: tuple = (0.0, 1.0, 0.0, 0.0, 0.0)
     gw: tuple = (1e1, 1e4, 1e4, 1e0, 1e0)
 
+    def features_parts(self, x) -> tuple:
+        return (x[0], jnp.cos(x[1]), jnp.sin(x[1]), x[2], x[3])
+
     def features(self, x: Array) -> Array:
-        return jnp.stack([x[0], jnp.cos(x[1]), jnp.sin(x[1]), x[2], x[3]])
+        return jnp.stack(self.features_parts(x))
 
 
 @dataclass(frozen=True)

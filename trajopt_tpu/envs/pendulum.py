@@ -44,17 +44,22 @@ class Pendulum(TrajEnv):
     def sigma0(self):
         return self.sigma0_scale * jnp.eye(self.dm_state)
 
-    def _ode(self, x: Array, u: Array) -> Array:
+    def _ode_parts(self, x, u) -> tuple:
         grav, m, l, k = 9.81, 1.0, 1.0, 1e-3
         th, dth = x[0], x[1]
         ddth = -3.0 * grav / (2.0 * l) * jnp.sin(th + jnp.pi) + 3.0 / (m * l**2) * (
             u[0] - k * dth
         )
-        return jnp.stack([dth, ddth])
+        return (dth, ddth)
+
+    def _periodic_parts(self, x) -> tuple:
+        if self.periodic:
+            return (wrap_angle(x[0]), x[1])
+        return (x[0], x[1])
 
     def _periodic_state(self, x: Array) -> Array:
         if self.periodic:
-            return jnp.stack([wrap_angle(x[0]), x[1]])
+            return jnp.stack(self._periodic_parts(x))
         return x
 
 
@@ -66,8 +71,11 @@ class PendulumWithCartesianCost(Pendulum):
     g: tuple = (1.0, 0.0, 0.0)
     gw: tuple = (1e4, 1e4, 1e0)
 
+    def features_parts(self, x) -> tuple:
+        return (jnp.cos(x[0]), jnp.sin(x[0]), x[1])
+
     def features(self, x: Array) -> Array:
-        return jnp.stack([jnp.cos(x[0]), jnp.sin(x[0]), x[1]])
+        return jnp.stack(self.features_parts(x))
 
 
 register("Pendulum-TO-v0", Pendulum)
