@@ -73,3 +73,25 @@ def test_ilqr_pallas_pscan_engine_matches_pscan():
     r1 = float(s1(x0)[0].last_return)
     r2 = float(s2(x0)[0].last_return)
     np.testing.assert_allclose(r2, r1, rtol=1e-4)
+
+
+@requires_tpu
+def test_batched_ilqr_pallas_rollout_matches_scan():
+    """rollout='pallas' (fused line-search kernels, core/pallas_rollout.py) must
+    reproduce the scan line search through the full solver, with both backward
+    engines (packed-gain handoff path and repack path)."""
+    from trajopt_tpu.parallel.mpc import make_ilqr_solver_batched
+
+    env = trajopt_tpu.make("Cartpole-TO-v0")
+    N, T = 256, 64
+    x0 = jnp.asarray(np.array(env.x0), jnp.float32)
+    x0s = jnp.tile(x0, (N, 1)) + 0.01 * jnp.arange(N, dtype=jnp.float32)[:, None]
+
+    ss = jax.jit(make_ilqr_solver_batched(env, T, nb_iter=5, backward="scan"))
+    rs = np.asarray(ss(x0s)[0].last_return)
+    for bwd in ("pallas", "scan"):
+        sp = jax.jit(make_ilqr_solver_batched(
+            env, T, nb_iter=5, backward=bwd, rollout="pallas"
+        ))
+        rp = np.asarray(sp(x0s)[0].last_return)
+        np.testing.assert_allclose(rp, rs, rtol=1e-4)

@@ -259,12 +259,20 @@ def make_ilqr_solver_batched(
     time_chunk: int = 8,
     fast_line_search: bool = False,
     metrics: bool = False,
+    rollout: str = "scan",
 ):
     """Batch-native iLQR: ``solve(x0s (N, dx), kff_init (N, T, du)|None)``.
 
     Same accept/reject semantics as :func:`make_ilqr_solver`, but the batch axis is
     primal rather than vmapped, so the backward pass can run as ONE kernel over all
-    instances.  ``backward='pallas'`` uses the lane-major Pallas kernel
+    instances.  ``rollout='pallas'`` additionally runs the line search as two fused
+    lane-major Pallas launches (core/pallas_rollout.py): phase A rolls ALL α
+    candidates with VMEM-resident state and emits only returns; cheap lane-space
+    glue picks the first acceptable α per instance; phase B re-rolls the selected
+    candidate.  With ``backward='pallas'`` the packed gains flow from the backward
+    kernel straight into the rollout kernels — no relayout between them.  Requires
+    a tile-protocol env (env.supports_tiles, envs/base.py) and T divisible by the
+    rollout chunk.  ``backward='pallas'`` uses the lane-major Pallas kernel
     (core/pallas_lqr.py — TPU only); ``'scan'`` uses the vmapped ``lax.scan`` kernel.
     The per-instance λ-escalation loops become one global ``while_loop`` with masked
     per-instance updates — iterate while any live instance still needs escalation,
@@ -343,7 +351,12 @@ def make_ilqr_solver_batched(
                 cond, body, init
             )
             pol = unpack_policy(Kl, kffl, N, T, dx, du)
-            return (pol.K, pol.kff, dV), lmbda, dlmbda, diverged
+            # strip the early-time padding rows: the lane-major layout itself is
+            # chunk-independent, so the rollout kernels can consume these directly
+            pad_t = Kl.shape[0] - T
+            return (pol.K, pol.kff, dV), lmbda, dlmbda, diverged, (
+                Kl[pad_t:], kffl[pad_t:]
+            )
 
     elif backward == "scan":
 
@@ -385,9 +398,55 @@ def make_ilqr_solver_batched(
             first0 = jnp.ones(N, bool)
             init = ((K0, kff0, dV0), lmbda0, dlmbda0, jnp.zeros(N, bool), first0)
             (out, lmbda, dlmbda, diverged, _) = lax.while_loop(cond, body, init)
-            return out, lmbda, dlmbda, diverged
+            return out, lmbda, dlmbda, diverged, None
     else:
         raise ValueError(f"unknown backward impl {backward!r}")
+
+    if rollout == "pallas":
+        from ..core.pallas_lqr import _to_lanes, lane_pad, pack_scalar
+        from ..core.pallas_rollout import (
+            pack_rollout,
+            pallas_rollout_returns,
+            pallas_rollout_selected,
+            pick_time_chunk,
+            unpack_selected,
+        )
+
+        if not getattr(env, "supports_tiles", False):
+            raise ValueError(
+                f"rollout='pallas' needs a tile-protocol env (_ode_parts); "
+                f"{type(env).__name__} does not define one"
+            )
+        rtc = pick_time_chunk(T)
+        alphas_t = tuple(float(a) for a in np.asarray(alphas))
+
+        def pallas_line_search(packed_gains, K_n, kff_n, xref, uref):
+            """Phase A (all-α returns) → lane-space glue happens in the caller;
+            here just pack + return the lane-major returns/flags and the packed
+            operands phase B will reuse."""
+            N = xref.shape[0]
+            n_pad = lane_pad(N)
+            if packed_gains is None:
+                pk = pack_rollout(K_n, kff_n, xref, uref)
+            else:
+                pk = {
+                    "K": packed_gains[0], "kff": packed_gains[1],
+                    "xref": _to_lanes(xref[:, :T], n_pad),
+                    "uref": _to_lanes(uref, n_pad),
+                }
+            ret_l, ok_l = pallas_rollout_returns(
+                env, pk, weighting, alphas_t, time_chunk=rtc
+            )
+            returns = jnp.transpose(ret_l.reshape(len(alphas_t), -1))[:N]
+            oks = jnp.transpose(ok_l.reshape(len(alphas_t), -1))[:N] > 0
+            return pk, returns, oks
+
+        def pallas_select(pk, alpha_sel, N):
+            alpha_l = pack_scalar(alpha_sel, lane_pad(N))
+            s_l, a_l, xT_l, _ = pallas_rollout_selected(
+                env, pk, weighting, alpha_l, time_chunk=rtc
+            )
+            return unpack_selected(s_l, a_l, xT_l, N)
 
     def forward_all(K, kff, xref, uref):
         def one(K1, kff1, xr, ur):
@@ -451,7 +510,7 @@ def make_ilqr_solver_batched(
         N = state.lmbda.shape[0]
         A, B, cost = jax.vmap(expand)(state.xref, state.uref)
 
-        (K_n, kff_n, dV), lmbda, dlmbda, diverged = backward_with_lm(
+        (K_n, kff_n, dV), lmbda, dlmbda, diverged, packed_gains = backward_with_lm(
             cost, A, B, state.lmbda, state.dlmbda, state.done
         )
         backpass_done = ~diverged
@@ -461,15 +520,20 @@ def make_ilqr_solver_batched(
         )
         grad_done = (g_norm < tolgrad) & (lmbda < 1e-5)
 
-        if fast_line_search:
-            states_all, actions_all, costs_all = line_search(
-                K_n, kff_n, dV, backpass_done, state
+        if rollout == "pallas":
+            pk, returns, _ = pallas_line_search(
+                packed_gains, K_n, kff_n, state.xref, state.uref
             )
         else:
-            states_all, actions_all, costs_all = forward_all(
-                K_n, kff_n, state.xref, state.uref
-            )
-        returns = jnp.sum(costs_all, axis=2)                          # (N, nA)
+            if fast_line_search:
+                states_all, actions_all, costs_all = line_search(
+                    K_n, kff_n, dV, backpass_done, state
+                )
+            else:
+                states_all, actions_all, costs_all = forward_all(
+                    K_n, kff_n, state.xref, state.uref
+                )
+            returns = jnp.sum(costs_all, axis=2)                      # (N, nA)
         dreturns = state.last_return[:, None] - returns
         expected = -1.0 * alphas[None] * (dV[:, :1] + alphas[None] * dV[:, 1:])
         imp = dreturns / expected
@@ -485,8 +549,13 @@ def make_ilqr_solver_batched(
 
         take = accepted & ~grad_done
         sel = lambda m, a, b: jnp.where(m.reshape((-1,) + (1,) * (a.ndim - 1)), a, b)
-        xref = sel(take, states_all[rows, idx], state.xref)
-        uref = sel(take, actions_all[rows, idx], state.uref)
+        if rollout == "pallas":
+            sel_states, sel_actions = pallas_select(pk, alphas[idx], N)
+            xref = sel(take, sel_states, state.xref)
+            uref = sel(take, sel_actions, state.uref)
+        else:
+            xref = sel(take, states_all[rows, idx], state.xref)
+            uref = sel(take, actions_all[rows, idx], state.uref)
         K = sel(take, K_n, state.K)
         kff = sel(take, kff_n, state.kff)
         last_return = jnp.where(take, returns[rows, idx], state.last_return)
@@ -524,22 +593,32 @@ def make_ilqr_solver_batched(
         xref0 = jnp.zeros((N, T + 1, dx), x0s.dtype).at[:, 0].set(x0s)
         kff0 = jnp.zeros((N, T, du), x0s.dtype) if kff_init is None else kff_init
         K0 = jnp.zeros((N, T, du, dx), x0s.dtype)
-
-        states_all, actions_all, costs_all = forward_all(
-            K0, kff0, xref0, jnp.zeros((N, T, du), x0s.dtype)
-        )
-        finite = jnp.all(states_all < 1e8, axis=(2, 3))
-        idx = jnp.argmax(finite, axis=1)
+        uref0 = jnp.zeros((N, T, du), x0s.dtype)
         rows = jnp.arange(N)
 
+        if rollout == "pallas":
+            pk, rets0, oks0 = pallas_line_search(None, K0, kff0, xref0, uref0)
+            idx = jnp.argmax(oks0, axis=1)
+            xref_i, uref_i = pallas_select(pk, alphas[idx], N)
+            ret_i = rets0[rows, idx]
+        else:
+            states_all, actions_all, costs_all = forward_all(
+                K0, kff0, xref0, uref0
+            )
+            finite = jnp.all(states_all < 1e8, axis=(2, 3))
+            idx = jnp.argmax(finite, axis=1)
+            xref_i = states_all[rows, idx]
+            uref_i = actions_all[rows, idx]
+            ret_i = jnp.sum(costs_all[rows, idx], axis=1)
+
         state = ILQRState(
-            xref=states_all[rows, idx],
-            uref=actions_all[rows, idx],
+            xref=xref_i,
+            uref=uref_i,
             K=K0,
             kff=kff0,
             lmbda=jnp.full((N,), lmbda, x0s.dtype),
             dlmbda=jnp.ones((N,), x0s.dtype),
-            last_return=jnp.sum(costs_all[rows, idx], axis=1),
+            last_return=ret_i,
             done=jnp.zeros((N,), bool),
         )
         state, trace = lax.scan(iteration, state, None, length=nb_iter)
