@@ -137,6 +137,7 @@ def bench_ilqr_iters(on_tpu):
     solve = make_ilqr_solver_batched(
         env, T, nb_iter=nb_iter,
         backward="pallas" if on_tpu else "scan", time_chunk=8,
+        rollout="pallas" if on_tpu else "scan",
     )
 
     x0 = jnp.zeros((N, env.dm_state), jnp.float32)
