@@ -64,6 +64,74 @@ def test_native_kernel_cross_validates_jax():
     np.testing.assert_allclose(kff_c, kff_np, rtol=1e-12, atol=1e-12)
 
 
+def test_native_gps_dual_chain_cross_validates_jax():
+    """The independent C++ GPS dual-evaluation chain (augment -> soft-KL backward
+    -> Gaussian forward -> KL/expectation, the bench.py CPU denominator for the
+    gps config) must agree with the JAX scan kernels."""
+    import jax
+    import jax.numpy as jnp
+
+    from trajopt_tpu.core.scan_lqr import (
+        augment_cost_kl,
+        gaussian_forward,
+        gps_backward,
+        policy_kl,
+        quad_expectation,
+    )
+    from trajopt_tpu.core.types import (
+        LinearGaussianDynamics,
+        LinearGaussianPolicy,
+        QuadraticCost,
+    )
+    from trajopt_tpu.utils.native import gps_dual_chain_native
+
+    rng = np.random.default_rng(3)
+    T, dx, du = 30, 3, 2
+
+    def spd(d, n, s=1.0):
+        M = rng.standard_normal((n, d, d))
+        return s * np.einsum("nij,nkj->nik", M, M) + d * np.eye(d)
+
+    cost = QuadraticCost(
+        Cxx=jnp.asarray(spd(dx, T + 1)),
+        cx=jnp.asarray(rng.standard_normal((T + 1, dx))),
+        Cuu=jnp.asarray(spd(du, T + 1)),
+        cu=jnp.asarray(rng.standard_normal((T + 1, du))),
+        Cxu=jnp.asarray(0.1 * rng.standard_normal((T + 1, dx, du))),
+        c0=jnp.asarray(rng.standard_normal(T + 1)),
+    )
+    dyn = LinearGaussianDynamics(
+        A=jnp.asarray(0.9 * (np.eye(dx) + 0.05 * rng.standard_normal((T, dx, dx)))),
+        B=jnp.asarray(0.1 * rng.standard_normal((T, dx, du))),
+        c=jnp.asarray(0.01 * rng.standard_normal((T, dx))),
+        sigma=jnp.asarray(1e-4 * spd(dx, T)),
+    )
+    pol = LinearGaussianPolicy(
+        K=jnp.asarray(0.1 * rng.standard_normal((T, du, dx))),
+        kff=jnp.asarray(0.1 * rng.standard_normal((T, du))),
+        sigma=jnp.asarray(spd(du, T)),
+    )
+    alpha = jnp.asarray(np.full(T, 25.0))
+    mu0 = jnp.asarray(rng.standard_normal(dx))
+    sigma0 = jnp.asarray(spd(dx, 1)[0] * 0.1)
+
+    ag = augment_cost_kl(cost, pol, alpha)
+    lgc, value, _, div = gps_backward(ag, dyn, alpha)
+    assert not bool(div)
+    xdist, _, _ = gaussian_forward(dyn, lgc, mu0, sigma0)
+    kl = policy_kl(lgc, pol, jax.tree.map(lambda x: x[:-1], xdist))
+    dual_jax = quad_expectation(mu0, sigma0, value.V[0], value.v[0], value.v0[0])
+
+    dual_c, kl_c, fail = gps_dual_chain_native(
+        cost.Cxx, cost.cx, cost.Cuu, cost.cu, cost.Cxu, cost.c0,
+        dyn.A, dyn.B, dyn.c, dyn.sigma,
+        pol.K, pol.kff, pol.sigma, alpha, mu0, sigma0,
+    )
+    assert fail == 0
+    np.testing.assert_allclose(dual_c, float(dual_jax), rtol=1e-9)
+    np.testing.assert_allclose(kl_c, float(jnp.sum(kl)), rtol=1e-9)
+
+
 def test_chained_timing_and_roofline():
     """The chained timer must measure real device work (a fetch-synced loop), and
     the roofline accounting must be self-consistent."""
