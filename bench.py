@@ -353,6 +353,69 @@ def bench_bsp(horizon=25, nb_steps=50, nb_iter=10, reps=3):
     return nb_steps / sec
 
 
+def bench_bsp_backward_batched(T=25, batch=4096, reps=50):
+    """Batched belief-value backward recursion (vec-channel Riccati) — the
+    BASELINE protocol's backward-pass ts/s for the bspilqr config, vmapped
+    over a batch of lightdark-dim problems (b=2, a=2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from trajopt_tpu.core.belief import (
+        BeliefCostExpansion,
+        BeliefDynamicsExpansion,
+        bsp_backward,
+    )
+
+    rng = np.random.default_rng(5)
+    b, a = 2, 2
+
+    def spd(d, n, s=1.0):
+        M = rng.standard_normal((n, d, d))
+        return s * np.einsum("nij,nkj->nik", M, M) + d * np.eye(d)
+
+    one_cost = BeliefCostExpansion(
+        Q=spd(b, T + 1), q=rng.standard_normal((T + 1, b)),
+        R=spd(a, T + 1, 0.5), r=rng.standard_normal((T + 1, a)),
+        P=0.1 * rng.standard_normal((T + 1, b, a)),
+        p=rng.standard_normal((T + 1, b * b)),
+    )
+    one_dyn = BeliefDynamicsExpansion(
+        F=np.broadcast_to(np.eye(b), (T, b, b))
+          + 0.05 * rng.standard_normal((T, b, b)),
+        G=0.1 * rng.standard_normal((T, b, a)),
+        X=0.01 * rng.standard_normal((T, b * b, b)),
+        Y=0.01 * rng.standard_normal((T, b * b, b * b)),
+        Z=0.01 * rng.standard_normal((T, b * b, a)),
+        T=0.01 * rng.standard_normal((T, b * b, b)),
+        U=0.01 * rng.standard_normal((T, b * b, b * b)),
+        V=0.01 * rng.standard_normal((T, b * b, a)),
+    )
+    one = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), (one_cost, one_dyn))
+
+    def build(one):
+        cost, dyn = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (batch,) + x.shape), one
+        )
+        q = cost.q + 0.01 * jax.random.normal(
+            jax.random.PRNGKey(0), cost.q.shape, jnp.float32
+        )  # decorrelate instances so XLA can't fold the batch
+        return cost._replace(q=q), dyn
+
+    cost, dyn = jax.block_until_ready(jax.jit(build)(one))
+    lmbda = jnp.float32(0.1)
+
+    def fn(q, cost, dyn):
+        cost = cost._replace(q=q)
+        lc, *_ = jax.vmap(lambda c, d: bsp_backward(c, d, lmbda, 1))(cost, dyn)
+        return lc.kff
+
+    def perturb(args, kff):
+        return (args[0] + 1e-30 * jnp.sum(kff[:, 0]),)
+
+    sec = _chain(fn, (cost.q,), perturb, reps, const_args=(cost, dyn))
+    return batch * T / sec
+
+
 def _gps_dual_operands(T, dx, du, batch):
     """Batch-leading GPS dual operands, built ON DEVICE from one host instance."""
     import jax
@@ -568,6 +631,128 @@ def bench_rgps_fixed_point(T=100, batch=8, reps=5):
     return batch * T / sec
 
 
+def _cpu_denominators(T_gps):
+    """Measured single-thread C++ denominators for every BASELINE config
+    (native/baseline.cpp; parity-pinned against the JAX kernels in
+    tests/test_utils.py and tests/test_bspilqr.py).  Each is a KERNEL-ONLY
+    lower bound on the reference's per-iteration cost — its real iterations
+    add per-t autograd linearization and Python loops on top — so every
+    derived vs-CPU ratio is conservative.  Returns a dict of rates.
+
+    Configs (BASELINE.md protocol):
+      riccati:  the exact backward recursion at T=100 on the homogeneous-
+                coordinate dims the TPU kernel runs (dx=3, du=1) -> ts/s.
+      elqr:     2 value recursions (forward LQR + backward LQR) per iteration
+                at cartpole dims (dx=4, du=1, T=100) -> iters/s.
+      bsp:      nb_iter=10 belief-value backward passes (b=2, a=2, vec-channel
+                4, T=25) per MPC step -> steps/s.
+      gps:      the full dual-evaluation chain at dx=4, du=2 -> ts/s.
+      rgps:     one adversary fixed-point trip (parameter backward + cubature
+                forward + KL/damping) at dx=4, du=2, T=100 -> ts/s.
+    """
+    from trajopt_tpu.utils.native import (
+        bench_backward_native,
+        bench_bsp_backward_native,
+        bench_gps_dual_chain_native,
+        bench_rgps_fixed_point_native,
+    )
+
+    rng = np.random.default_rng(1)
+    den = {}
+
+    def spd(d, n, s=1.0):
+        M = rng.standard_normal((n, d, d))
+        return s * np.einsum("nij,nkj->nik", M, M) + d * np.eye(d)
+
+    # riccati: T=100, homogeneous dims (dx+1=3, du=1)
+    p = _problem(100, 3, 1, 0)
+    reps = 200
+    t = min(bench_backward_native(
+        p["Cxx"], p["cx"], p["Cuu"], p["cu"], p["Cxu"], p["A"], p["B"],
+        0.0, reps=reps) for _ in range(3))
+    den["riccati_cpu_tps"] = 100 * reps / t
+
+    # elqr: 2 value recursions per iteration at cartpole dims
+    p = _problem(100, 4, 1, 0)
+    t = min(bench_backward_native(
+        p["Cxx"], p["cx"], p["Cuu"], p["cu"], p["Cxu"], p["A"], p["B"],
+        0.0, reps=reps) for _ in range(3))
+    den["elqr_cpu_iters_per_s"] = reps / (2.0 * t)
+
+    # bsp: 10 belief backward passes per MPC step at lightdark dims
+    from trajopt_tpu.core.belief import BeliefCostExpansion, BeliefDynamicsExpansion
+
+    T_b, b, a = 25, 2, 2
+    bcost = BeliefCostExpansion(
+        Q=spd(b, T_b + 1), q=rng.standard_normal((T_b + 1, b)),
+        R=spd(a, T_b + 1, 0.5), r=rng.standard_normal((T_b + 1, a)),
+        P=0.1 * rng.standard_normal((T_b + 1, b, a)),
+        p=rng.standard_normal((T_b + 1, b * b)),
+    )
+    bdyn = BeliefDynamicsExpansion(
+        F=np.broadcast_to(np.eye(b), (T_b, b, b))
+          + 0.05 * rng.standard_normal((T_b, b, b)),
+        G=0.1 * rng.standard_normal((T_b, b, a)),
+        X=0.01 * rng.standard_normal((T_b, b * b, b)),
+        Y=0.01 * rng.standard_normal((T_b, b * b, b * b)),
+        Z=0.01 * rng.standard_normal((T_b, b * b, a)),
+        T=0.01 * rng.standard_normal((T_b, b * b, b)),
+        U=0.01 * rng.standard_normal((T_b, b * b, b * b)),
+        V=0.01 * rng.standard_normal((T_b, b * b, a)),
+    )
+    reps_b = 2000
+    t = min(bench_bsp_backward_native(bcost, bdyn, 0.1, 1, reps=reps_b)
+            for _ in range(3))
+    den["bsp_cpu_steps_per_s"] = reps_b / (10.0 * t)
+    den["bsp_cpu_tps"] = T_b * reps_b / t
+
+    # gps: full dual-evaluation chain, dims 4/2
+    dx, du = 4, 2
+    p = _problem(T_gps, dx, du, 0)
+    K = 0.1 * rng.standard_normal((T_gps, du, dx))
+    kffs = 0.1 * rng.standard_normal((T_gps, du))
+    Sctl = np.broadcast_to(np.eye(du), (T_gps, du, du)).copy()
+    Sdyn = np.broadcast_to(1e-4 * np.eye(dx), (T_gps, dx, dx)).copy()
+    alpha = np.full(T_gps, 10.0)
+    mu0 = np.zeros(dx)
+    sig0 = 0.1 * np.eye(dx)
+    reps_g = max(2, 2000 // T_gps)
+    t = min(bench_gps_dual_chain_native(
+        p["Cxx"], p["cx"], p["Cuu"], p["cu"], p["Cxu"], p["c0"],
+        p["A"], p["B"], p["c"], Sdyn, K, kffs, Sctl, alpha, mu0, sig0,
+        reps=reps_g) for _ in range(3))
+    den["gps_cpu_tps"] = T_gps * reps_g / t
+
+    # rgps: one adversary fixed-point trip at T=100, dims 4/2
+    T_r = 100
+    p = _problem(T_r, dx, du, 0)
+    p1 = dx + du + 1
+    pdim = dx * p1
+    theta = np.concatenate(
+        [np.swapaxes(p["A"], -1, -2).reshape(T_r, dx * dx),
+         np.swapaxes(p["B"], -1, -2).reshape(T_r, du * dx), p["c"]], axis=-1,
+    )
+    lam_nom = 1e4  # (1e-4 I)^-1
+    scale = 100.0
+    agCpp = np.broadcast_to(0.5 * scale * lam_nom * np.eye(pdim),
+                            (T_r, pdim, pdim)).copy()
+    agcp = -scale * lam_nom * theta
+    K = 0.05 * rng.standard_normal((T_r, du, dx))
+    kffs = 0.05 * rng.standard_normal((T_r, du))
+    Sctl = np.broadcast_to(np.eye(du), (T_r, du, du)).copy()
+    Sdyn = np.broadcast_to(1e-4 * np.eye(dx), (T_r, dx, dx)).copy()
+    qmu = np.zeros((T_r + 1, dx))
+    qsig = np.broadcast_to(0.05 * np.eye(dx), (T_r + 1, dx, dx)).copy()
+    reps_r = 5
+    t = min(bench_rgps_fixed_point_native(
+        p["Cxx"], p["cx"], p["Cuu"], p["cu"], p["Cxu"], p["c0"],
+        K, kffs, Sctl, Sdyn, agCpp, agcp, 200.0, qmu, qsig,
+        np.zeros(dx), 0.01 * np.eye(dx), reps=reps_r) for _ in range(3))
+    den["rgps_cpu_tps"] = T_r * reps_r / t
+
+    return den
+
+
 def main():
     import jax
 
@@ -604,6 +789,11 @@ def main():
     try_bench("elqr_cartpole_iters_per_s@64", bench_elqr)
     try_bench("bsp_lightdark_mpc_steps_per_s", bench_bsp)
     try_bench(
+        "bsp_backward_tps@4096",
+        lambda: bench_bsp_backward_batched(batch=4096 if on_tpu else 256,
+                                           reps=50 if on_tpu else 3),
+    )
+    try_bench(
         "gps_dual_eval_tps@4096",
         lambda: bench_gps_dual(
             T=1000 if on_tpu else 100,
@@ -612,6 +802,26 @@ def main():
         ),
     )
     try_bench("rgps_fixed_point_tps@8", bench_rgps_fixed_point)
+
+    # per-config CPU denominators (native/baseline.cpp) -> conservative vs-CPU
+    # ratios for every BASELINE config
+    try:
+        den = _cpu_denominators(T_gps=1000 if on_tpu else 100)
+        ratios = [
+            ("riccati_T100_tps@4096", "riccati_cpu_tps", "riccati_vs_cpu"),
+            ("elqr_cartpole_iters_per_s@64", "elqr_cpu_iters_per_s",
+             "elqr_vs_cpu"),
+            ("bsp_lightdark_mpc_steps_per_s", "bsp_cpu_steps_per_s",
+             "bsp_mpc_vs_cpu"),
+            ("bsp_backward_tps@4096", "bsp_cpu_tps", "bsp_vs_cpu"),
+            ("gps_dual_eval_tps@4096", "gps_cpu_tps", "gps_vs_cpu"),
+            ("rgps_fixed_point_tps@8", "rgps_cpu_tps", "rgps_vs_cpu"),
+        ]
+        for tpu_key, cpu_key, ratio_key in ratios:
+            if tpu_key in extras:
+                extras[ratio_key] = round(extras[tpu_key] / den[cpu_key], 2)
+    except Exception as e:  # pragma: no cover - defensive: report, keep going
+        print(f"cpu denominators failed: {e!r}", file=sys.stderr)
 
     # CPU C++ baseline: the backward pass alone at T=1000 (a strict LOWER bound on
     # the reference's per-iteration cost — its iteration adds per-t autograd

@@ -579,6 +579,602 @@ int gps_dual_chain_cpu(
     return fail;
 }
 
+// --------------------------------------------------------------------------------
+// RGPS adversary fixed-point trip: parameter_backward_pass (Kronecker-lifted
+// MatrixNormal adversary, rgps/src/util.cpp:626-798) + cubature_forward_pass
+// (util.cpp:232-361) + KL damping — the reference's deepest hot path (one trip
+// of the mbrgps.py:678-731 fixed point).  theta-vec is column-major over
+// [A B c]; p1 = dx+du+1, p = dx*p1.  Returns 0 on success, t+1 of the first
+// definiteness failure.
+//
+// In/out: qmu (T+1, dx), qsig (T+1, dx, dx) — the state-distribution iterate,
+// updated in place by the precision-weighted interpolation with weight
+// interp_a.  Outputs: mu_opt (T, p), pmu/psig (T+1 state marginal under the
+// adversarial parameters), kl_out[0] = sum_t KL(p_xdist || q).
+int rgps_fixed_point_cpu(
+    const double* Cxx, const double* cx, const double* Cuu, const double* cu,
+    const double* Cxu, const double* c0,                       // (T+1, ...)
+    const double* K, const double* kff, const double* Sctl,    // (T, ...)
+    const double* Sdyn,                                        // (T, dx, dx)
+    const double* agCpp, const double* agcp,                   // (T, p, p), (T, p)
+    double bpe,                                                // beta + eta
+    double* qmu, double* qsig,                                 // (T+1, ...) in/out
+    const double* mu0, const double* sigma0,
+    int T, int dx, int du, double interp_a,
+    double* mu_opt_out,                                        // (T, p)
+    double* pmu_out, double* psig_out,                         // (T+1, ...)
+    double* kl_out) {
+
+    const int xx = dx * dx, uu = du * du, xu = dx * du;
+    const int p1 = dx + du + 1, p = dx * p1, pp = p * p;
+    int fail = 0;
+
+    // ---- state-action-offset joint over the horizon (util.cpp:661-686) ----
+    double* mu_z = new double[T * p1];
+    double* sig_z = new double[T * p1 * p1];
+    for (int t = 0; t < T; ++t) {
+        const double* Kt = K + t * xu;
+        const double* kt = kff + t * du;
+        const double* St = Sctl + t * uu;
+        const double* mx = qmu + t * dx;
+        const double* sx = qsig + t * xx;
+        double* mz = mu_z + t * p1;
+        double* sz = sig_z + t * p1 * p1;
+
+        for (int i = 0; i < dx; ++i) mz[i] = mx[i];
+        for (int i = 0; i < du; ++i) {
+            double s = kt[i];
+            for (int k = 0; k < dx; ++k) s += Kt[i * dx + k] * mx[k];
+            mz[dx + i] = s;
+        }
+        mz[dx + du] = 1.0;
+
+        // cross = sig_x K^T (dx, du); sigma_u = Sctl + K sig_x K^T + 1e-8 I
+        for (int i = 0; i < p1 * p1; ++i) sz[i] = 0.0;
+        double* KS = new double[du * dx];
+        matmat(Kt, sx, KS, du, dx, dx);                    // K sig_x (du, dx)
+        for (int i = 0; i < dx; ++i)
+            for (int j = 0; j < dx; ++j) sz[i * p1 + j] = sx[i * dx + j];
+        for (int i = 0; i < dx; ++i)
+            for (int j = 0; j < du; ++j) {
+                sz[i * p1 + dx + j] = KS[j * dx + i];
+                sz[(dx + j) * p1 + i] = KS[j * dx + i];
+            }
+        for (int i = 0; i < du; ++i)
+            for (int j = 0; j < du; ++j) {
+                double s = St[i * du + j];
+                for (int k = 0; k < dx; ++k) s += KS[i * dx + k] * Kt[j * dx + k];
+                sz[(dx + i) * p1 + dx + j] = s + (i == j ? 1e-8 : 0.0);
+            }
+        delete[] KS;
+        symmetrize_ip(sz, p1);
+        for (int i = 0; i < p1; ++i) sz[i * p1 + i] += 1e-8;
+    }
+
+    // ---- adversary backward recursion (util.cpp:626-798) ----
+    double* V = new double[xx]; double* v = new double[dx]; double v0;
+    double* sigma_opt = new double[T * pp];
+    double* W = new double[pp]; double* w = new double[p];
+    double* Pblk = new double[p1 * p1];
+    double* Amat = new double[xx]; double* Bmat = new double[xu];
+    double* cvec = new double[dx];
+    double* Acl = new double[xx]; double* ccl = new double[dx];
+    double* VA = new double[xx]; double* Vnew = new double[xx];
+    double* vnew = new double[dx]; double* tmp_x = new double[dx];
+    double* tmp_u = new double[du];
+
+    for (int i = 0; i < xx; ++i) V[i] = -Cxx[T * xx + i];
+    for (int i = 0; i < dx; ++i) v[i] = -cx[T * dx + i];
+    v0 = -c0[T];
+
+    for (int t = T - 1; t >= 0 && !fail; --t) {
+        const double* mz = mu_z + t * p1;
+        const double* sz = sig_z + t * p1 * p1;
+        const double* aC = agCpp + t * pp;
+        const double* ac = agcp + t * p;
+        const double* Kt = K + t * xu;
+        const double* kt = kff + t * du;
+        const double* St = Sctl + t * uu;
+        double* so = sigma_opt + t * pp;
+        double* mo = mu_opt_out + t * p;
+
+        // W = sym(2 (agCpp + kron(mz mz^T + sz, V)) / bpe); w = -(agcp + kron(mz, v)) / bpe
+        for (int a = 0; a < p1; ++a)
+            for (int b = 0; b < p1; ++b) {
+                double M = mz[a] * mz[b] + sz[a * p1 + b];
+                for (int i = 0; i < dx; ++i)
+                    for (int j = 0; j < dx; ++j)
+                        W[(a * dx + i) * p + b * dx + j] =
+                            2.0 * (aC[(a * dx + i) * p + b * dx + j]
+                                   + M * V[i * dx + j]) / bpe;
+            }
+        symmetrize_ip(W, p);
+        for (int a = 0; a < p1; ++a)
+            for (int i = 0; i < dx; ++i)
+                w[a * dx + i] = -(ac[a * dx + i] + mz[a] * v[i]) / bpe;
+
+        if (!chol_fact(W, p)) { fail = t + 1; break; }   // W overwritten by its factor
+        for (int i = 0; i < pp; ++i) so[i] = 0.0;
+        for (int i = 0; i < p; ++i) so[i * p + i] = 1.0;
+        chol_solve_fact(W, so, p, p);
+        symmetrize_ip(so, p);
+        matvec(so, w, mo, p, p);
+
+        // unpack A, B, c (column-major blocks of mu_opt)
+        for (int j = 0; j < dx; ++j)
+            for (int i = 0; i < dx; ++i) Amat[i * dx + j] = mo[j * dx + i];
+        for (int j = 0; j < du; ++j)
+            for (int i = 0; i < dx; ++i) Bmat[i * du + j] = mo[xx + j * dx + i];
+        for (int i = 0; i < dx; ++i) cvec[i] = mo[xx + xu + i];
+
+        // P[a,b] = tr(Sigma_opt block[a,b] V) = sum_ij so[(a dx + i) p + b dx + j] V[j,i]
+        for (int a = 0; a < p1; ++a)
+            for (int b = 0; b < p1; ++b) {
+                double s = 0.0;
+                for (int i = 0; i < dx; ++i)
+                    for (int j = 0; j < dx; ++j)
+                        s += so[(a * dx + i) * p + b * dx + j] * V[j * dx + i];
+                Pblk[a * p1 + b] = s;
+            }
+
+        // closed loop
+        for (int i = 0; i < dx; ++i) {
+            for (int j = 0; j < dx; ++j) {
+                double s = Amat[i * dx + j];
+                for (int k = 0; k < du; ++k) s += Bmat[i * du + k] * Kt[k * dx + j];
+                Acl[i * dx + j] = s;
+            }
+            double s = cvec[i];
+            for (int k = 0; k < du; ++k) s += Bmat[i * du + k] * kt[k];
+            ccl[i] = s;
+        }
+
+        // MCuu = -Cuu[t] + Puu (du, du); MCxu = -Cxu[t] + Pxu (dx, du)
+        double* MCuu = new double[uu]; double* MCxu = new double[xu];
+        for (int i = 0; i < du; ++i)
+            for (int j = 0; j < du; ++j)
+                MCuu[i * du + j] = -Cuu[t * uu + i * du + j]
+                                 + Pblk[(dx + i) * p1 + dx + j];
+        for (int i = 0; i < dx; ++i)
+            for (int j = 0; j < du; ++j)
+                MCxu[i * du + j] = -Cxu[t * xu + i * du + j]
+                                 + Pblk[i * p1 + dx + j];
+
+        // Vnew = (-Cxx + Pxx) + K^T MCuu K + Acl^T V Acl + 2 MCxu K
+        matmat(V, Acl, VA, dx, dx, dx);                    // V Acl
+        double* MK = new double[du * dx];                  // MCuu K (du, dx)
+        matmat(MCuu, Kt, MK, du, du, dx);
+        for (int i = 0; i < dx; ++i)
+            for (int j = 0; j < dx; ++j) {
+                double s = -Cxx[t * xx + i * dx + j] + Pblk[i * p1 + j];
+                for (int k = 0; k < du; ++k) {
+                    s += Kt[k * dx + i] * MK[k * dx + j];       // K^T MCuu K
+                    s += 2.0 * MCxu[i * du + k] * Kt[k * dx + j];
+                }
+                for (int k = 0; k < dx; ++k) s += Acl[k * dx + i] * VA[k * dx + j];
+                Vnew[i * dx + j] = s;
+            }
+        symmetrize_ip(Vnew, dx);
+
+        // vnew = (-cx + 2 px) + 2 K^T MCuu kff + 2 MCxu kff + K^T (-cu + 2 pu)
+        //        + 2 Acl^T V ccl + Acl^T v
+        matvec(MCuu, kt, tmp_u, du, du);                   // MCuu kff
+        matvec(V, ccl, tmp_x, dx, dx);                     // V ccl
+        for (int i = 0; i < dx; ++i) {
+            double s = -cx[t * dx + i] + 2.0 * Pblk[i * p1 + p1 - 1];
+            for (int k = 0; k < du; ++k) {
+                s += 2.0 * Kt[k * dx + i] * tmp_u[k];
+                s += 2.0 * MCxu[i * du + k] * kt[k];
+                s += Kt[k * dx + i]
+                     * (-cu[t * du + k] + 2.0 * Pblk[(dx + k) * p1 + p1 - 1]);
+            }
+            for (int k = 0; k < dx; ++k)
+                s += Acl[k * dx + i] * (2.0 * tmp_x[k] + v[k]);
+            vnew[i] = s;
+        }
+
+        // v0new
+        double kMk = 0.0, kcu = 0.0, trCS = 0.0, trVS = 0.0, cVc = 0.0, cv = 0.0;
+        for (int i = 0; i < du; ++i) {
+            kMk += kt[i] * tmp_u[i];
+            kcu += kt[i] * (-cu[t * du + i] + 2.0 * Pblk[(dx + i) * p1 + p1 - 1]);
+            for (int k = 0; k < du; ++k)
+                trCS += Cuu[(t + 1) * uu + i * du + k] * St[k * du + i];
+        }
+        for (int i = 0; i < dx; ++i) {
+            cv += ccl[i] * v[i];
+            cVc += ccl[i] * tmp_x[i];
+            for (int k = 0; k < dx; ++k)
+                trVS += V[i * dx + k] * Sdyn[t * xx + k * dx + i];
+        }
+        // kron(sigma_block, V) terms: sigma_block nonzero only on the control block
+        double muKmu = 0.0, trKS = 0.0;
+        for (int a = 0; a < du; ++a)
+            for (int b = 0; b < du; ++b) {
+                double s_mu = 0.0, s_tr = 0.0;
+                for (int i = 0; i < dx; ++i)
+                    for (int j = 0; j < dx; ++j) {
+                        s_mu += mo[(dx + a) * dx + i] * V[i * dx + j]
+                              * mo[(dx + b) * dx + j];
+                        s_tr += V[i * dx + j]
+                              * so[((dx + b) * dx + j) * p + (dx + a) * dx + i];
+                    }
+                muKmu += St[a * du + b] * s_mu;
+                trKS += St[a * du + b] * s_tr;
+            }
+        double v0new = (-c0[t] + Pblk[p1 * p1 - 1]) + kMk + kcu - trCS + v0
+                     + trVS + muKmu + trKS + cVc + cv;
+
+        std::memcpy(V, Vnew, sizeof(double) * xx);
+        std::memcpy(v, vnew, sizeof(double) * dx);
+        v0 = v0new;
+        delete[] MCuu; delete[] MCxu; delete[] MK;
+    }
+
+    // ---- cubature forward under the adversarial parameters (util.cpp:232-361) ----
+    double kl_sum = 0.0;
+    if (!fail) {
+        const int daug = dx + du + 1 + dx, n_pts = 2 * daug, dxu = dx + du;
+        double scale = std::sqrt((double)daug);
+        double* msx = new double[dx]; double* ssx = new double[xx];
+        std::memcpy(msx, mu0, sizeof(double) * dx);
+        std::memcpy(ssx, sigma0, sizeof(double) * xx);
+        double* sig_xu = new double[dxu * dxu];
+        double* chol_aug = new double[daug * daug];
+        double* pts = new double[n_pts * daug];
+        double* outp = new double[n_pts * dx];
+        double* cov = new double[xx];
+        double* KS = new double[du * dx];
+        double* mu_u = new double[du]; double* sig_u = new double[uu];
+
+        for (int t = 0; t <= T; ++t) {
+            std::memcpy(pmu_out + t * dx, msx, sizeof(double) * dx);
+            std::memcpy(psig_out + t * xx, ssx, sizeof(double) * xx);
+            if (t == T) break;
+
+            const double* mo = mu_opt_out + t * p;
+            const double* so = sigma_opt + t * pp;
+            const double* Kt = K + t * xu;
+            const double* kt = kff + t * du;
+            const double* St = Sctl + t * uu;
+
+            // unpack adversarial A, B, c
+            for (int j = 0; j < dx; ++j)
+                for (int i = 0; i < dx; ++i) Amat[i * dx + j] = mo[j * dx + i];
+            for (int j = 0; j < du; ++j)
+                for (int i = 0; i < dx; ++i) Bmat[i * du + j] = mo[xx + j * dx + i];
+            for (int i = 0; i < dx; ++i) cvec[i] = mo[xx + xu + i];
+
+            // action marginal + joint
+            matvec(Kt, msx, mu_u, du, dx);
+            for (int i = 0; i < du; ++i) mu_u[i] += kt[i];
+            matmat(Kt, ssx, KS, du, dx, dx);
+            for (int i = 0; i < du; ++i)
+                for (int j = 0; j < du; ++j) {
+                    double s = St[i * du + j];
+                    for (int k = 0; k < dx; ++k) s += KS[i * dx + k] * Kt[j * dx + k];
+                    sig_u[i * du + j] = s;
+                }
+            symmetrize_ip(sig_u, du);
+            for (int i = 0; i < du; ++i) sig_u[i * du + i] += 1e-8;
+
+            for (int i = 0; i < dx; ++i)
+                for (int j = 0; j < dx; ++j) sig_xu[i * dxu + j] = ssx[i * dx + j];
+            for (int i = 0; i < dx; ++i)
+                for (int j = 0; j < du; ++j) {
+                    sig_xu[i * dxu + dx + j] = KS[j * dx + i];
+                    sig_xu[(dx + j) * dxu + i] = KS[j * dx + i];
+                }
+            for (int i = 0; i < du; ++i)
+                for (int j = 0; j < du; ++j)
+                    sig_xu[(dx + i) * dxu + dx + j] = sig_u[i * du + j];
+            symmetrize_ip(sig_xu, dxu);
+            for (int i = 0; i < dxu; ++i) sig_xu[i * dxu + i] += 1e-8;
+
+            if (!chol_fact(sig_xu, dxu)) { fail = t + 1; break; }
+            // lower-triangular factor lives in sig_xu's lower triangle now
+            for (int i = 0; i < daug * daug; ++i) chol_aug[i] = 0.0;
+            for (int i = 0; i < dxu; ++i)
+                for (int j = 0; j <= i; ++j)
+                    chol_aug[i * daug + j] = sig_xu[i * dxu + j];
+            for (int i = 0; i < dx; ++i)
+                chol_aug[(dxu + 1 + i) * daug + dxu + 1 + i] = 1.0;
+
+            // cubature points: mu_aug +- sqrt(daug) * columns of chol_aug
+            for (int k = 0; k < daug; ++k)
+                for (int i = 0; i < daug; ++i) {
+                    double base = (i < dx) ? msx[i]
+                                : (i < dxu) ? mu_u[i - dx]
+                                : (i == dxu) ? 1.0 : 0.0;
+                    double d = scale * chol_aug[i * daug + k];
+                    pts[k * daug + i] = base + d;
+                    pts[(daug + k) * daug + i] = base - d;
+                }
+
+            // propagate each point through uncertain dynamics
+            for (int k = 0; k < n_pts && !fail; ++k) {
+                const double* pt = pts + k * daug;
+                // cov = Sdyn + sum_ab z_a z_b Sigma_theta[block a, b]
+                for (int i = 0; i < dx; ++i)
+                    for (int j = 0; j < dx; ++j) {
+                        double s = Sdyn[t * xx + i * dx + j];
+                        for (int a = 0; a < p1; ++a)
+                            for (int b = 0; b < p1; ++b)
+                                s += pt[a] * pt[b]
+                                   * so[(a * dx + i) * p + b * dx + j];
+                        cov[i * dx + j] = s;
+                    }
+                symmetrize_ip(cov, dx);
+                if (!chol_fact(cov, dx)) { fail = t + 1; break; }
+                double* ok = outp + k * dx;
+                for (int i = 0; i < dx; ++i) {
+                    double s = cvec[i] * pt[dx + du];
+                    for (int j = 0; j < dx; ++j) s += Amat[i * dx + j] * pt[j];
+                    for (int j = 0; j < du; ++j) s += Bmat[i * du + j] * pt[dx + j];
+                    for (int j = 0; j <= i; ++j)
+                        s += cov[i * dx + j] * pt[p1 + j];   // chol_cov w
+                    ok[i] = s;
+                }
+            }
+            if (fail) break;
+
+            for (int i = 0; i < dx; ++i) {
+                double s = 0.0;
+                for (int k = 0; k < n_pts; ++k) s += outp[k * dx + i];
+                msx[i] = s / n_pts;
+            }
+            for (int i = 0; i < dx; ++i)
+                for (int j = 0; j <= i; ++j) {
+                    double s = 0.0;
+                    for (int k = 0; k < n_pts; ++k)
+                        s += (outp[k * dx + i] - msx[i]) * (outp[k * dx + j] - msx[j]);
+                    ssx[i * dx + j] = ssx[j * dx + i] = s / n_pts;
+                }
+        }
+
+        // ---- KL(p_xdist || q) + precision-weighted interpolation ----
+        if (!fail) {
+            double* lam_q = new double[xx]; double* lam_p = new double[xx];
+            double* scr2 = new double[xx]; double* mix = new double[xx];
+            double* rhs = new double[dx];
+            for (int t = 0; t <= T; ++t) {
+                const double* mp = pmu_out + t * dx;
+                const double* sp = psig_out + t * xx;
+                double* mq = qmu + t * dx;
+                double* sq = qsig + t * xx;
+
+                std::memcpy(scr2, sq, sizeof(double) * xx);
+                if (!chol_fact(scr2, dx)) { fail = T + 1 + t; break; }
+                double logdet_q = logdet_from_fact(scr2, dx);
+                for (int i = 0; i < xx; ++i) lam_q[i] = 0.0;
+                for (int i = 0; i < dx; ++i) lam_q[i * dx + i] = 1.0;
+                chol_solve_fact(scr2, lam_q, dx, dx);
+
+                std::memcpy(scr2, sp, sizeof(double) * xx);
+                if (!chol_fact(scr2, dx)) { fail = T + 1 + t; break; }
+                double logdet_p = logdet_from_fact(scr2, dx);
+                for (int i = 0; i < xx; ++i) lam_p[i] = 0.0;
+                for (int i = 0; i < dx; ++i) lam_p[i * dx + i] = 1.0;
+                chol_solve_fact(scr2, lam_p, dx, dx);
+
+                double tr = 0.0, quad = 0.0;
+                for (int i = 0; i < dx; ++i)
+                    for (int j = 0; j < dx; ++j) {
+                        tr += lam_q[i * dx + j] * sp[j * dx + i];
+                        quad += (mq[i] - mp[i]) * lam_q[i * dx + j] * (mq[j] - mp[j]);
+                    }
+                kl_sum += 0.5 * (tr + quad + logdet_q - logdet_p - dx);
+
+                // q_new = interp: Sig = (a lam_p + (1-a) lam_q)^-1,
+                //                 mu = Sig (a lam_p mu_p + (1-a) lam_q mu_q)
+                for (int i = 0; i < xx; ++i)
+                    mix[i] = interp_a * lam_p[i] + (1.0 - interp_a) * lam_q[i];
+                for (int i = 0; i < dx; ++i) {
+                    double s = 0.0;
+                    for (int j = 0; j < dx; ++j)
+                        s += interp_a * lam_p[i * dx + j] * mp[j]
+                           + (1.0 - interp_a) * lam_q[i * dx + j] * mq[j];
+                    rhs[i] = s;
+                }
+                if (!chol_fact(mix, dx)) { fail = T + 1 + t; break; }
+                // sq = mix^-1 ; mq = mix^-1 rhs
+                for (int i = 0; i < xx; ++i) sq[i] = 0.0;
+                for (int i = 0; i < dx; ++i) sq[i * dx + i] = 1.0;
+                chol_solve_fact(mix, sq, dx, dx);
+                symmetrize_ip(sq, dx);
+                chol_solve_fact(mix, rhs, dx, 1);
+                std::memcpy(mq, rhs, sizeof(double) * dx);
+            }
+            delete[] lam_q; delete[] lam_p; delete[] scr2; delete[] mix; delete[] rhs;
+        }
+
+        delete[] msx; delete[] ssx; delete[] sig_xu; delete[] chol_aug;
+        delete[] pts; delete[] outp; delete[] cov; delete[] KS;
+        delete[] mu_u; delete[] sig_u;
+    }
+
+    kl_out[0] = kl_sum;
+    delete[] mu_z; delete[] sig_z; delete[] V; delete[] v; delete[] sigma_opt;
+    delete[] W; delete[] w; delete[] Pblk; delete[] Amat; delete[] Bmat;
+    delete[] cvec; delete[] Acl; delete[] ccl; delete[] VA; delete[] Vnew;
+    delete[] vnew; delete[] tmp_x; delete[] tmp_u;
+    return fail;
+}
+
+double rgps_fixed_point_bench(
+    const double* Cxx, const double* cx, const double* Cuu, const double* cu,
+    const double* Cxu, const double* c0, const double* K, const double* kff,
+    const double* Sctl, const double* Sdyn, const double* agCpp,
+    const double* agcp, double bpe, double* qmu, double* qsig,
+    const double* mu0, const double* sigma0, int T, int dx, int du,
+    double interp_a, int reps, double* mu_opt_out, double* pmu_out,
+    double* psig_out, double* kl_out) {
+    auto start = std::chrono::steady_clock::now();
+    for (int r = 0; r < reps; ++r)
+        rgps_fixed_point_cpu(Cxx, cx, Cuu, cu, Cxu, c0, K, kff, Sctl, Sdyn,
+                             agCpp, agcp, bpe, qmu, qsig, mu0, sigma0,
+                             T, dx, du, interp_a, mu_opt_out, pmu_out,
+                             psig_out, kl_out);
+    auto end = std::chrono::steady_clock::now();
+    return std::chrono::duration<double>(end - start).count();
+}
+
+// --------------------------------------------------------------------------------
+// BSP-iLQR belief-value backward recursion with the vec(Sigma) channel
+// (bspilqr/src/util.cpp:83-204, with the tau-index fix of core/belief.py).
+// Inputs are the belief cost expansion (T+1 stacks) and the belief-dynamics
+// Jacobian blocks (T stacks); reg selects value-regularization (2) or
+// control-cost regularization (1).  Outputs K (T, a, b), kff (T, a),
+// dS (2,).  Returns 0 on success, t+1 of the first definiteness failure.
+int bsp_backward_cpu(
+    const double* Q, const double* q, const double* R, const double* r,
+    const double* P, const double* pvec,                       // (T+1, ...)
+    const double* F, const double* G, const double* X, const double* Y,
+    const double* Z, const double* Tm, const double* U, const double* Vm,
+    double lmbda, int reg, int T, int b, int a,
+    double* K, double* kff, double* dS) {
+
+    const int bb = b * b, ab = a * b, aa = a * a;
+    int fail = 0;
+
+    double* S = new double[bb]; double* s = new double[b];
+    double* tau = new double[bb];
+    double* SF = new double[bb]; double* SG = new double[b * a];
+    double* Cm = new double[bb]; double* D = new double[aa];
+    double* E = new double[ab];  double* E_reg = new double[ab];
+    double* D_reg = new double[aa]; double* S_reg = new double[bb];
+    double* cvec = new double[b]; double* dvec = new double[a];
+    double* evec = new double[bb];
+    double* Dk = new double[a]; double* scr = new double[aa];
+
+    std::memcpy(S, Q + T * bb, sizeof(double) * bb);
+    std::memcpy(s, q + T * b, sizeof(double) * b);
+    std::memcpy(tau, pvec + T * bb, sizeof(double) * bb);
+    dS[0] = 0.0; dS[1] = 0.0;
+
+    for (int t = T - 1; t >= 0 && !fail; --t) {
+        const double* Ft = F + t * bb;
+        const double* Gt = G + t * b * a;
+        const double* Xt = X + t * bb * b;
+        const double* Yt = Y + t * bb * bb;
+        const double* Zt = Z + t * bb * a;
+        const double* Tt = Tm + t * bb * b;
+        const double* Ut = U + t * bb * bb;
+        const double* Vt = Vm + t * bb * a;
+        double* Kt = K + t * ab;
+        double* kt = kff + t * a;
+
+        matmat(S, Ft, SF, b, b, b);                        // S F
+        matmat(S, Gt, SG, b, b, a);                        // S G
+        // C = Q + F^T S F ; D = R + G^T S G ; E = (P + F^T S G)^T (a, b)
+        matTmat(Ft, SF, Cm, b, b, b);
+        for (int i = 0; i < bb; ++i) Cm[i] += Q[t * bb + i];
+        matTmat(Gt, SG, D, b, a, a);
+        for (int i = 0; i < aa; ++i) D[i] += R[t * aa + i];
+        for (int i = 0; i < a; ++i)
+            for (int j = 0; j < b; ++j) {
+                double v = P[t * b * a + j * a + i];
+                for (int k = 0; k < b; ++k) v += Ft[k * b + j] * SG[k * a + i];
+                E[i * b + j] = v;
+            }
+
+        // linear channels: c = q + F^T s + T^T tau + 0.5 X^T vec(S)
+        for (int i = 0; i < b; ++i) {
+            double v = q[t * b + i];
+            for (int k = 0; k < b; ++k) v += Ft[k * b + i] * s[k];
+            for (int k = 0; k < bb; ++k)
+                v += Tt[k * b + i] * tau[k] + 0.5 * Xt[k * b + i] * S[k];
+            cvec[i] = v;
+        }
+        for (int i = 0; i < a; ++i) {
+            double v = r[t * a + i];
+            for (int k = 0; k < b; ++k) v += Gt[k * a + i] * s[k];
+            for (int k = 0; k < bb; ++k)
+                v += Vt[k * a + i] * tau[k] + 0.5 * Zt[k * a + i] * S[k];
+            dvec[i] = v;
+        }
+        for (int i = 0; i < bb; ++i) {
+            double v = pvec[t * bb + i];
+            for (int k = 0; k < bb; ++k)
+                v += Ut[k * bb + i] * tau[k] + 0.5 * Yt[k * bb + i] * S[k];
+            evec[i] = v;
+        }
+
+        // regularized gain solve
+        std::memcpy(S_reg, S, sizeof(double) * bb);
+        if (reg == 2)
+            for (int i = 0; i < b; ++i) S_reg[i * b + i] += lmbda;
+        matmat(S_reg, Gt, SG, b, b, a);                    // S_reg G (reuse SG)
+        for (int i = 0; i < a; ++i)
+            for (int j = 0; j < b; ++j) {
+                double v = P[t * b * a + j * a + i];
+                for (int k = 0; k < b; ++k) v += Ft[k * b + j] * SG[k * a + i];
+                E_reg[i * b + j] = v;
+            }
+        matTmat(Gt, SG, D_reg, b, a, a);
+        for (int i = 0; i < aa; ++i) D_reg[i] += R[t * aa + i];
+        if (reg == 1)
+            for (int i = 0; i < a; ++i) D_reg[i * a + i] += lmbda;
+        symmetrize_ip(D_reg, a);
+
+        std::memcpy(scr, D_reg, sizeof(double) * aa);
+        if (!chol_fact(scr, a)) { fail = t + 1; break; }
+        std::memcpy(Kt, E_reg, sizeof(double) * ab);
+        chol_solve_fact(scr, Kt, a, b);
+        for (int i = 0; i < ab; ++i) Kt[i] = -Kt[i];
+        std::memcpy(kt, dvec, sizeof(double) * a);
+        chol_solve_fact(scr, kt, a, 1);
+        for (int i = 0; i < a; ++i) kt[i] = -kt[i];
+
+        matvec(D, kt, Dk, a, a);
+        double kd = 0.0, kDk = 0.0;
+        for (int i = 0; i < a; ++i) { kd += kt[i] * dvec[i]; kDk += kt[i] * Dk[i]; }
+        dS[0] += kd; dS[1] += 0.5 * kDk;
+
+        // tau' = e ; s' = c + K^T D kff + K^T d + E^T kff ;
+        // S' = sym(C + K^T D K + K^T E + E^T K)
+        std::memcpy(tau, evec, sizeof(double) * bb);
+        for (int i = 0; i < b; ++i) {
+            double v = cvec[i];
+            for (int k = 0; k < a; ++k)
+                v += Kt[k * b + i] * (Dk[k] + dvec[k]) + E[k * b + i] * kt[k];
+            s[i] = v;
+        }
+        double* DK = SG;                                   // reuse (a, b) scratch
+        matmat(D, Kt, DK, a, a, b);
+        for (int i = 0; i < b; ++i)
+            for (int j = 0; j < b; ++j) {
+                double v = Cm[i * b + j];
+                for (int k = 0; k < a; ++k)
+                    v += Kt[k * b + i] * (DK[k * b + j] + E[k * b + j])
+                       + E[k * b + i] * Kt[k * b + j];
+                SF[i * b + j] = v;                         // scratch for new S
+            }
+        symmetrize_ip(SF, b);
+        std::memcpy(S, SF, sizeof(double) * bb);
+    }
+
+    delete[] S; delete[] s; delete[] tau; delete[] SF; delete[] SG;
+    delete[] Cm; delete[] D; delete[] E; delete[] E_reg; delete[] D_reg;
+    delete[] S_reg; delete[] cvec; delete[] dvec; delete[] evec;
+    delete[] Dk; delete[] scr;
+    return fail;
+}
+
+double bsp_backward_bench(
+    const double* Q, const double* q, const double* R, const double* r,
+    const double* P, const double* pvec, const double* F, const double* G,
+    const double* X, const double* Y, const double* Z, const double* Tm,
+    const double* U, const double* Vm, double lmbda, int reg,
+    int T, int b, int a, int reps, double* K, double* kff, double* dS) {
+    auto start = std::chrono::steady_clock::now();
+    for (int rep = 0; rep < reps; ++rep)
+        bsp_backward_cpu(Q, q, R, r, P, pvec, F, G, X, Y, Z, Tm, U, Vm,
+                         lmbda, reg, T, b, a, K, kff, dS);
+    auto end = std::chrono::steady_clock::now();
+    return std::chrono::duration<double>(end - start).count();
+}
+
 double gps_dual_chain_bench(
     const double* Cxx, const double* cx, const double* Cuu, const double* cu,
     const double* Cxu, const double* c0, const double* A, const double* B,

@@ -92,6 +92,52 @@ def test_bsp_backward_matches_numpy_oracle():
         np.testing.assert_allclose(np.asarray(got), want, rtol=1e-8, atol=1e-10)
 
 
+def test_native_bsp_backward_cross_validates_jax():
+    """The independent C++ belief-value backward recursion (the bench.py CPU
+    denominator for the bsp config) must agree with the JAX scan kernel for
+    both regularization modes."""
+    from trajopt_tpu.utils.native import bsp_backward_native
+
+    rng = np.random.default_rng(23)
+    T, b, a = 9, 2, 2
+
+    def spd(d, scale=1.0):
+        M = rng.standard_normal((d, d))
+        return scale * (M @ M.T + d * np.eye(d))
+
+    cost = BeliefCostExpansion(
+        Q=jnp.asarray(np.stack([spd(b) for _ in range(T + 1)])),
+        q=jnp.asarray(rng.standard_normal((T + 1, b))),
+        R=jnp.asarray(np.stack([spd(a, 0.5) for _ in range(T + 1)])),
+        r=jnp.asarray(rng.standard_normal((T + 1, a))),
+        P=jnp.asarray(0.1 * rng.standard_normal((T + 1, b, a))),
+        p=jnp.asarray(rng.standard_normal((T + 1, b * b))),
+    )
+    dyn = BeliefDynamicsExpansion(
+        F=jnp.asarray(np.stack(
+            [np.eye(b) + 0.05 * rng.standard_normal((b, b)) for _ in range(T)]
+        )),
+        G=jnp.asarray(0.1 * rng.standard_normal((T, b, a))),
+        X=jnp.asarray(0.01 * rng.standard_normal((T, b * b, b))),
+        Y=jnp.asarray(0.01 * rng.standard_normal((T, b * b, b * b))),
+        Z=jnp.asarray(0.01 * rng.standard_normal((T, b * b, a))),
+        T=jnp.asarray(0.01 * rng.standard_normal((T, b * b, b))),
+        U=jnp.asarray(0.01 * rng.standard_normal((T, b * b, b * b))),
+        V=jnp.asarray(0.01 * rng.standard_normal((T, b * b, a))),
+    )
+
+    for reg, lmbda in [(1, 0.3), (2, 0.7)]:
+        lc, _, _, _, dS, diverged = bsp_backward(cost, dyn, lmbda, reg)
+        assert not bool(diverged)
+        K_c, kff_c, dS_c, fail = bsp_backward_native(cost, dyn, lmbda, reg)
+        assert fail == 0
+        np.testing.assert_allclose(K_c, np.asarray(lc.K), rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(
+            kff_c, np.asarray(lc.kff), rtol=1e-10, atol=1e-12
+        )
+        np.testing.assert_allclose(dS_c, np.asarray(dS), rtol=1e-10, atol=1e-12)
+
+
 def test_belief_dynamics_expansion_is_consistent():
     """Finite-difference check of the vmapped belief-dynamics Jacobian."""
     env = trajopt_tpu.make("LightDark-TO-v0")

@@ -132,6 +132,91 @@ def test_native_gps_dual_chain_cross_validates_jax():
     np.testing.assert_allclose(kl_c, float(jnp.sum(kl)), rtol=1e-9)
 
 
+def test_native_rgps_fixed_point_cross_validates_jax():
+    """The independent C++ RGPS adversary fixed-point trip (parameter backward
+    pass + cubature forward + KL + damping, the bench.py CPU denominator for
+    the rgps config) must agree with the JAX cubature kernels."""
+    import jax
+    import jax.numpy as jnp
+
+    from trajopt_tpu.core.cubature import (
+        cubature_forward_pass,
+        parameter_augment_cost,
+        parameter_backward_pass,
+    )
+    from trajopt_tpu.core.scan_lqr import gaussian_interp_kl, gaussian_kl
+    from trajopt_tpu.core.types import (
+        LinearGaussianPolicy,
+        MatrixNormalParams,
+        QuadraticCost,
+        vec_from_matrices,
+    )
+    from trajopt_tpu.utils.native import rgps_fixed_point_native
+
+    rng = np.random.default_rng(11)
+    T, dx, du = 15, 3, 2
+    p = dx * (dx + du + 1)
+
+    def spd(d, n, s=1.0):
+        M = rng.standard_normal((n, d, d))
+        return s * np.einsum("nij,nkj->nik", M, M) + d * np.eye(d)
+
+    cost = QuadraticCost(
+        Cxx=jnp.asarray(spd(dx, T + 1)),
+        cx=jnp.asarray(rng.standard_normal((T + 1, dx))),
+        Cuu=jnp.asarray(spd(du, T + 1)),
+        cu=jnp.asarray(rng.standard_normal((T + 1, du))),
+        Cxu=jnp.asarray(0.1 * rng.standard_normal((T + 1, dx, du))),
+        c0=jnp.asarray(rng.standard_normal(T + 1)),
+    )
+    A = 0.9 * (np.eye(dx) + 0.05 * rng.standard_normal((T, dx, dx)))
+    B = 0.1 * rng.standard_normal((T, dx, du))
+    c = 0.01 * rng.standard_normal((T, dx))
+    theta = jax.vmap(vec_from_matrices)(
+        jnp.asarray(A), jnp.asarray(B), jnp.asarray(c)
+    )
+    nominal = MatrixNormalParams(
+        mu=theta, sigma=jnp.asarray(np.tile(1e-4 * np.eye(p), (T, 1, 1)))
+    )
+    ctl = LinearGaussianPolicy(
+        K=jnp.asarray(0.05 * rng.standard_normal((T, du, dx))),
+        kff=jnp.asarray(0.05 * rng.standard_normal((T, du))),
+        sigma=jnp.asarray(np.tile(np.eye(du), (T, 1, 1))),
+    )
+    noise = jnp.asarray(1e-4 * spd(dx, T))
+    mu0 = jnp.asarray(rng.standard_normal(dx))
+    sigma0 = jnp.asarray(0.01 * spd(dx, 1)[0])
+    beta = jnp.asarray(200.0)
+
+    agCpp, agcp, _ = parameter_augment_cost(nominal, jnp.asarray(100.0))
+    q, _, _ = cubature_forward_pass(mu0, sigma0, nominal, noise, ctl)
+
+    param, _, div = parameter_backward_pass(
+        q, ctl, noise, cost, agCpp, agcp, beta
+    )
+    assert not bool(div)
+    p_xdist, _, _ = cubature_forward_pass(mu0, sigma0, param, noise, ctl)
+    kl_jax = float(jnp.sum(gaussian_kl(p_xdist, q)))
+    q_new = gaussian_interp_kl(q, p_xdist, 1e-1)
+
+    mu_opt, pmu, psig, kl_c, qmu_new, qsig_new, fail = rgps_fixed_point_native(
+        cost.Cxx, cost.cx, cost.Cuu, cost.cu, cost.Cxu, cost.c0,
+        ctl.K, ctl.kff, ctl.sigma, noise, agCpp, agcp, float(beta),
+        q.mu, q.sigma, mu0, sigma0, interp_a=0.1,
+    )
+    assert fail == 0
+    np.testing.assert_allclose(mu_opt, np.asarray(param.mu), rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(pmu, np.asarray(p_xdist.mu), rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(
+        psig, np.asarray(p_xdist.sigma), rtol=1e-8, atol=1e-12
+    )
+    np.testing.assert_allclose(kl_c, kl_jax, rtol=1e-8)
+    np.testing.assert_allclose(qmu_new, np.asarray(q_new.mu), rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(
+        qsig_new, np.asarray(q_new.sigma), rtol=1e-8, atol=1e-12
+    )
+
+
 def test_chained_timing_and_roofline():
     """The chained timer must measure real device work (a fetch-synced loop), and
     the roofline accounting must be self-consistent."""

@@ -46,6 +46,24 @@ def load():
     lib.gps_dual_chain_cpu.argtypes = [dp] * 16 + [ci, ci, ci, dp]
     lib.gps_dual_chain_bench.restype = ctypes.c_double
     lib.gps_dual_chain_bench.argtypes = [dp] * 16 + [ci, ci, ci, ci, dp]
+    lib.rgps_fixed_point_cpu.restype = ci
+    lib.rgps_fixed_point_cpu.argtypes = (
+        [dp] * 12 + [ctypes.c_double] + [dp] * 4
+        + [ci, ci, ci, ctypes.c_double] + [dp] * 4
+    )
+    lib.rgps_fixed_point_bench.restype = ctypes.c_double
+    lib.rgps_fixed_point_bench.argtypes = (
+        [dp] * 12 + [ctypes.c_double] + [dp] * 4
+        + [ci, ci, ci, ctypes.c_double, ci] + [dp] * 4
+    )
+    lib.bsp_backward_cpu.restype = ci
+    lib.bsp_backward_cpu.argtypes = (
+        [dp] * 14 + [ctypes.c_double, ci, ci, ci, ci] + [dp] * 3
+    )
+    lib.bsp_backward_bench.restype = ctypes.c_double
+    lib.bsp_backward_bench.argtypes = (
+        [dp] * 14 + [ctypes.c_double, ci, ci, ci, ci, ci] + [dp] * 3
+    )
     return lib
 
 
@@ -100,6 +118,102 @@ def bench_gps_dual_chain_native(Cxx, cx, Cuu, cu, Cxu, c0, A, B, c, Sdyn,
     out = np.zeros(2)
     return lib.gps_dual_chain_bench(
         *[_ptr(a) for a in arrs], T, dx, du, reps, _ptr(out)
+    )
+
+
+def _rgps_args(Cxx, cx, Cuu, cu, Cxu, c0, K, kff, Sctl, Sdyn, agCpp, agcp,
+               qmu, qsig, mu0, sigma0):
+    const = [np.ascontiguousarray(np.asarray(x, dtype=np.float64))
+             for x in (Cxx, cx, Cuu, cu, Cxu, c0, K, kff, Sctl, Sdyn,
+                       agCpp, agcp)]
+    # q is updated in place by the interpolation step -> fresh copies
+    qmu = np.array(np.asarray(qmu, dtype=np.float64), order="C")
+    qsig = np.array(np.asarray(qsig, dtype=np.float64), order="C")
+    init = [np.ascontiguousarray(np.asarray(x, dtype=np.float64))
+            for x in (mu0, sigma0)]
+    T, dx = Sdyn.shape[0], Sdyn.shape[-1]
+    du = kff.shape[-1]
+    p = dx * (dx + du + 1)
+    outs = (np.zeros((T, p)), np.zeros((T + 1, dx)),
+            np.zeros((T + 1, dx, dx)), np.zeros(1))
+    return const, qmu, qsig, init, outs, T, dx, du
+
+
+def rgps_fixed_point_native(Cxx, cx, Cuu, cu, Cxu, c0, K, kff, Sctl, Sdyn,
+                            agCpp, agcp, beta_plus_eta, qmu, qsig, mu0, sigma0,
+                            interp_a=0.1):
+    """One native RGPS adversary fixed-point trip (parameter backward pass +
+    cubature forward + KL + precision-weighted damping).  Returns
+    (mu_opt (T,p), p_mu (T+1,dx), p_sig (T+1,dx,dx), kl_sum, q_mu_new,
+    q_sig_new, fail)."""
+    lib = load()
+    const, qmu, qsig, init, outs, T, dx, du = _rgps_args(
+        Cxx, cx, Cuu, cu, Cxu, c0, K, kff, Sctl, Sdyn, agCpp, agcp,
+        qmu, qsig, mu0, sigma0,
+    )
+    mu_opt, pmu, psig, kl = outs
+    fail = lib.rgps_fixed_point_cpu(
+        *[_ptr(a) for a in const], ctypes.c_double(beta_plus_eta),
+        _ptr(qmu), _ptr(qsig), *[_ptr(a) for a in init],
+        T, dx, du, ctypes.c_double(interp_a),
+        _ptr(mu_opt), _ptr(pmu), _ptr(psig), _ptr(kl),
+    )
+    return mu_opt, pmu, psig, kl[0], qmu, qsig, fail
+
+
+def bench_rgps_fixed_point_native(Cxx, cx, Cuu, cu, Cxu, c0, K, kff, Sctl,
+                                  Sdyn, agCpp, agcp, beta_plus_eta, qmu, qsig,
+                                  mu0, sigma0, interp_a=0.1, reps=5):
+    """Time `reps` native RGPS fixed-point trips; returns seconds."""
+    lib = load()
+    const, qmu, qsig, init, outs, T, dx, du = _rgps_args(
+        Cxx, cx, Cuu, cu, Cxu, c0, K, kff, Sctl, Sdyn, agCpp, agcp,
+        qmu, qsig, mu0, sigma0,
+    )
+    mu_opt, pmu, psig, kl = outs
+    return lib.rgps_fixed_point_bench(
+        *[_ptr(a) for a in const], ctypes.c_double(beta_plus_eta),
+        _ptr(qmu), _ptr(qsig), *[_ptr(a) for a in init],
+        T, dx, du, ctypes.c_double(interp_a), reps,
+        _ptr(mu_opt), _ptr(pmu), _ptr(psig), _ptr(kl),
+    )
+
+
+def _bsp_args(cost, dyn):
+    """Flatten a (BeliefCostExpansion, BeliefDynamicsExpansion) pair."""
+    arrs = [np.ascontiguousarray(np.asarray(x, dtype=np.float64))
+            for x in (cost.Q, cost.q, cost.R, cost.r, cost.P, cost.p,
+                      dyn.F, dyn.G, dyn.X, dyn.Y, dyn.Z, dyn.T, dyn.U, dyn.V)]
+    T, b = dyn.F.shape[0], dyn.F.shape[-1]
+    a = dyn.G.shape[-1]
+    return arrs, T, b, a
+
+
+def bsp_backward_native(cost, dyn, lmbda=0.0, reg=1):
+    """Run the native belief-value backward recursion; returns
+    (K, kff, dS, fail)."""
+    lib = load()
+    arrs, T, b, a = _bsp_args(cost, dyn)
+    K = np.zeros((T, a, b))
+    kff = np.zeros((T, a))
+    dS = np.zeros(2)
+    fail = lib.bsp_backward_cpu(
+        *[_ptr(x) for x in arrs], ctypes.c_double(lmbda), reg, T, b, a,
+        _ptr(K), _ptr(kff), _ptr(dS),
+    )
+    return K, kff, dS, fail
+
+
+def bench_bsp_backward_native(cost, dyn, lmbda=0.0, reg=1, reps=10):
+    """Time `reps` native belief-value backward passes; returns seconds."""
+    lib = load()
+    arrs, T, b, a = _bsp_args(cost, dyn)
+    K = np.zeros((T, a, b))
+    kff = np.zeros((T, a))
+    dS = np.zeros(2)
+    return lib.bsp_backward_bench(
+        *[_ptr(x) for x in arrs], ctypes.c_double(lmbda), reg, T, b, a, reps,
+        _ptr(K), _ptr(kff), _ptr(dS),
     )
 
 
