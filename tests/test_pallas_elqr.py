@@ -1,0 +1,53 @@
+"""Parity of the fused Pallas eLQR sweeps (interpreter mode) vs the scan
+solver.  The Pallas engine must reproduce the host-class iteration semantics
+exactly: same controller init, same sweep order, same re-chosen states."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import trajopt_tpu
+from trajopt_tpu.parallel.elqr import make_elqr_solver_batched
+
+
+def _run(engine, env, keys, x0s, T, nb_iter, **kw):
+    solve = make_elqr_solver_batched(env, T, nb_iter, engine=engine, **kw)
+    return solve(keys, x0s)
+
+
+def test_pallas_elqr_matches_scan_cartpole():
+    env = trajopt_tpu.make("Cartpole-TO-v0")
+    N, T, nb_iter = 3, 8, 3
+    keys = jax.random.split(jax.random.PRNGKey(0), N)
+    x0s = jnp.tile(jnp.asarray(np.array(env.x0)), (N, 1)) \
+        + 0.02 * jnp.arange(N, dtype=jnp.float64)[:, None]
+
+    ctl_s, xs_s, us_s, tr_s = _run("scan", env, keys, x0s, T, nb_iter)
+    ctl_p, xs_p, us_p, tr_p = _run(
+        "pallas", env, keys, x0s, T, nb_iter, interpret=True
+    )
+
+    np.testing.assert_allclose(tr_p, tr_s, rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(ctl_p.K, ctl_s.K, rtol=1e-7, atol=1e-8)
+    np.testing.assert_allclose(ctl_p.kff, ctl_s.kff, rtol=1e-7, atol=1e-8)
+    np.testing.assert_allclose(xs_p, xs_s, rtol=1e-7, atol=1e-8)
+    np.testing.assert_allclose(us_p, us_s, rtol=1e-7, atol=1e-8)
+
+
+def test_pallas_elqr_matches_scan_pendulum_periodic():
+    """Pendulum exercises the periodic wrap + feature-Jacobian path of the
+    in-kernel quadratization."""
+    env = trajopt_tpu.make("Pendulum-TO-v0", dt=0.05)
+    N, T, nb_iter = 2, 6, 2
+    keys = jax.random.split(jax.random.PRNGKey(1), N)
+    x0s = jnp.tile(jnp.asarray(np.array(env.x0)), (N, 1)) \
+        + 0.01 * jnp.arange(N, dtype=jnp.float64)[:, None]
+
+    ctl_s, _, _, tr_s = _run("scan", env, keys, x0s, T, nb_iter)
+    ctl_p, _, _, tr_p = _run(
+        "pallas", env, keys, x0s, T, nb_iter, interpret=True
+    )
+
+    np.testing.assert_allclose(tr_p, tr_s, rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(ctl_p.K, ctl_s.K, rtol=1e-7, atol=1e-8)
+    np.testing.assert_allclose(ctl_p.kff, ctl_s.kff, rtol=1e-7, atol=1e-8)

@@ -59,3 +59,121 @@ def make_elqr_solver(env, nb_steps: int, nb_iter: int = 10):
         return ctl, xs, us, jnp.concatenate([ret0[None], trace])
 
     return solve
+
+
+def make_elqr_solver_batched(
+    env,
+    nb_steps: int,
+    nb_iter: int = 10,
+    engine: str = "scan",
+    time_chunk: int | None = None,
+    interpret: bool = False,
+):
+    """Batch-of-problems eLQR: ``solve(keys (N,2), x0s (N, dx)) ->
+    (ctl, xs, us, trace (N, nb_iter+1))``, iteration semantics identical to
+    :func:`make_elqr_solver`.
+
+    ``engine='scan'`` vmaps the per-instance compiled solver (N sequential-scan
+    chains).  ``engine='pallas'`` runs each sweep as ONE lane-major Pallas
+    launch with in-kernel linearization (core/pallas_elqr.py) — three launches
+    per iteration for the whole batch, the eLQR analogue of the packed iLQR/GPS
+    engines.  Needs a tile-protocol env."""
+    if engine == "scan":
+        base = make_elqr_solver(env, nb_steps, nb_iter)
+
+        def solve_scan(keys: Array, x0s: Array):
+            return jax.vmap(base)(keys, x0s)
+
+        return solve_scan
+
+    if engine != "pallas":
+        raise ValueError(f"unknown engine {engine!r}")
+    if not getattr(env, "supports_tiles", False):
+        raise ValueError(
+            "engine='pallas' needs a tile-protocol env (_ode_parts); "
+            f"{type(env).__name__} does not define one"
+        )
+    if getattr(env, "slew_rate", False):
+        raise ValueError("engine='pallas' does not support slew-rate costs")
+
+    from ..core.pallas_elqr import (
+        LANES,
+        elqr_backward_pallas,
+        elqr_forward_pallas,
+        elqr_rollout_pallas,
+        pack_elqr,
+    )
+
+    T = nb_steps
+    dx, du = env.dm_state, env.dm_act
+
+    def solve(keys: Array, x0s: Array):
+        N = x0s.shape[0]
+        dtype = x0s.dtype
+
+        def init_kff(key):
+            k1, _ = jax.random.split(key)
+            return jax.random.normal(k1, (T, du), dtype)
+
+        kff0 = jax.vmap(init_kff)(keys)
+        K0 = jnp.zeros((N, T, du, dx), dtype)
+        K_l, kff_l, x0_l = pack_elqr(K0, kff0, x0s)
+        nsub = K_l.shape[2]
+
+        zV_row = jnp.zeros((1, dx * dx, nsub, LANES), dtype)
+        zv_row = jnp.zeros((1, dx, nsub, LANES), dtype)
+        # comeV_0 = 1e-16·I (solvers/elqr.py:96)
+        eye_flat = (1e-16 * jnp.eye(dx, dtype=dtype)).reshape(dx * dx)
+        initV_row = jnp.broadcast_to(
+            eye_flat[None, :, None, None], (1, dx * dx, nsub, LANES)
+        )
+
+        ret0 = elqr_rollout_pallas(
+            env, K_l, kff_l, x0_l, time_chunk=time_chunk, interpret=interpret
+        )
+
+        def iteration(carry, _):
+            K_l, kff_l, goVn_l, govn_l, state_l = carry
+            iK_l, ikff_l, comeV_l, comev_l, _, x_mid = elqr_forward_pallas(
+                env, K_l, kff_l, goVn_l, govn_l, state_l,
+                time_chunk=time_chunk, interpret=interpret,
+            )
+            # forward rows hold come values at t+1; backward wants rows at t
+            comeV_in = jnp.concatenate([initV_row, comeV_l[:-1]], axis=0)
+            comev_in = jnp.concatenate([zv_row, comev_l[:-1]], axis=0)
+            (K2_l, kff2_l, goV_l, gov_l, _, goVT, govT, _, x_out) = (
+                elqr_backward_pallas(
+                    env, iK_l, ikff_l, comeV_in, comev_in,
+                    comeV_l[-1], comev_l[-1], x_mid,
+                    time_chunk=time_chunk, interpret=interpret,
+                )
+            )
+            # next forward wants go values at t+1
+            goVn_next = jnp.concatenate([goV_l[1:], goVT[None]], axis=0)
+            govn_next = jnp.concatenate([gov_l[1:], govT[None]], axis=0)
+            ret = elqr_rollout_pallas(
+                env, K2_l, kff2_l, x0_l, time_chunk=time_chunk,
+                interpret=interpret,
+            )
+            return (K2_l, kff2_l, goVn_next, govn_next, x_out), ret
+
+        goVn0 = jnp.broadcast_to(zV_row, (T, dx * dx, nsub, LANES))
+        govn0 = jnp.broadcast_to(zv_row, (T, dx, nsub, LANES))
+        (K_l, kff_l, *_), rets = lax.scan(
+            iteration, (K_l, kff_l, goVn0, govn0, x0_l), None, length=nb_iter
+        )
+
+        from ..core.pallas_lqr import _from_lanes
+
+        ctl = LinearPolicy(
+            K=_from_lanes(K_l, N, (du, dx)), kff=_from_lanes(kff_l, N, (du,))
+        )
+        trace = jnp.concatenate(
+            [ret0.reshape(-1)[:N][:, None],
+             jnp.moveaxis(rets.reshape(nb_iter, -1)[:, :N], 0, 1)],
+            axis=1,
+        )
+        xs, us, _ = jax.vmap(lambda c, x0: elqr_rollout(env, c, x0))(ctl, x0s)
+        return ctl, xs, us, trace
+
+    return solve
