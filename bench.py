@@ -327,6 +327,33 @@ def bench_elqr(T=100, batch=64, nb_iter=10, reps=3):
     return batch * nb_iter / sec
 
 
+def bench_elqr_pallas(T=100, batch=1024, nb_iter=10, reps=3):
+    """eLQR cartpole with the fused Pallas sweep engine
+    (core/pallas_elqr.py): three lane-major launches per iteration for the
+    whole batch instead of `batch` vmapped scan chains.  iterations/sec."""
+    import jax
+    import jax.numpy as jnp
+
+    import trajopt_tpu
+    from trajopt_tpu.parallel.elqr import make_elqr_solver_batched
+
+    env = trajopt_tpu.make("Cartpole-TO-v0")
+    solve = make_elqr_solver_batched(env, T, nb_iter=nb_iter, engine="pallas")
+    keys = jax.random.split(jax.random.PRNGKey(0), batch)
+    x0s = jnp.zeros((batch, env.dm_state), jnp.float32)
+    x0s = x0s.at[:, 1].add(0.001 * jnp.arange(batch, dtype=jnp.float32))
+
+    def fn(x0s):
+        _, _, us, _ = solve(keys, x0s)
+        return us
+
+    def perturb(args, us):
+        return (args[0] + 1e-30 * jnp.sum(us[:, 0], axis=-1, keepdims=True),)
+
+    sec = _chain(fn, (x0s,), perturb, reps)
+    return batch * nb_iter / sec
+
+
 def bench_bsp(horizon=25, nb_steps=50, nb_iter=10, reps=3):
     """BSP-iLQR light-dark MPC (BASELINE config #4): control steps/sec (replan +
     act + EKF update per step — the examples/bspilqr/lightdark.py loop)."""
@@ -787,6 +814,8 @@ def main():
         lambda: bench_riccati(on_tpu=on_tpu),
     )
     try_bench("elqr_cartpole_iters_per_s@64", bench_elqr)
+    if on_tpu:
+        try_bench("elqr_pallas_iters_per_s@1024", bench_elqr_pallas)
     try_bench("bsp_lightdark_mpc_steps_per_s", bench_bsp)
     try_bench(
         "bsp_backward_tps@4096",
@@ -802,6 +831,11 @@ def main():
         ),
     )
     try_bench("rgps_fixed_point_tps@8", bench_rgps_fixed_point)
+    if on_tpu:
+        try_bench(
+            "rgps_fixed_point_tps@64",
+            lambda: bench_rgps_fixed_point(batch=64),
+        )
 
     # per-config CPU denominators (native/baseline.cpp) -> conservative vs-CPU
     # ratios for every BASELINE config
@@ -816,6 +850,9 @@ def main():
             ("bsp_backward_tps@4096", "bsp_cpu_tps", "bsp_vs_cpu"),
             ("gps_dual_eval_tps@4096", "gps_cpu_tps", "gps_vs_cpu"),
             ("rgps_fixed_point_tps@8", "rgps_cpu_tps", "rgps_vs_cpu"),
+            ("rgps_fixed_point_tps@64", "rgps_cpu_tps", "rgps_vs_cpu@64"),
+            ("elqr_pallas_iters_per_s@1024", "elqr_cpu_iters_per_s",
+             "elqr_pallas_vs_cpu"),
         ]
         for tpu_key, cpu_key, ratio_key in ratios:
             if tpu_key in extras:
