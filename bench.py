@@ -380,10 +380,12 @@ def bench_bsp(horizon=25, nb_steps=50, nb_iter=10, reps=3):
     return nb_steps / sec
 
 
-def bench_bsp_backward_batched(T=25, batch=4096, reps=50):
+def bench_bsp_backward_batched(T=25, batch=4096, reps=50, engine="scan"):
     """Batched belief-value backward recursion (vec-channel Riccati) — the
-    BASELINE protocol's backward-pass ts/s for the bspilqr config, vmapped
-    over a batch of lightdark-dim problems (b=2, a=2)."""
+    BASELINE protocol's backward-pass ts/s for the bspilqr config over a batch
+    of lightdark-dim problems (b=2, a=2).  ``engine='scan'`` vmaps the scan
+    kernel; ``engine='pallas'`` runs the lane-major packed kernel
+    (core/pallas_belief.py, TPU only)."""
     import jax
     import jax.numpy as jnp
 
@@ -392,6 +394,7 @@ def bench_bsp_backward_batched(T=25, batch=4096, reps=50):
         BeliefDynamicsExpansion,
         bsp_backward,
     )
+    from trajopt_tpu.core.pallas_belief import pallas_bsp_backward
 
     rng = np.random.default_rng(5)
     b, a = 2, 2
@@ -431,9 +434,16 @@ def bench_bsp_backward_batched(T=25, batch=4096, reps=50):
     cost, dyn = jax.block_until_ready(jax.jit(build)(one))
     lmbda = jnp.float32(0.1)
 
+    lam_b = jnp.full((batch,), lmbda, jnp.float32)
+
     def fn(q, cost, dyn):
         cost = cost._replace(q=q)
-        lc, *_ = jax.vmap(lambda c, d: bsp_backward(c, d, lmbda, 1))(cost, dyn)
+        if engine == "pallas":
+            lc, *_ = pallas_bsp_backward(cost, dyn, lam_b, 1)
+        else:
+            lc, *_ = jax.vmap(lambda c, d: bsp_backward(c, d, lmbda, 1))(
+                cost, dyn
+            )
         return lc.kff
 
     def perturb(args, kff):
@@ -819,8 +829,11 @@ def main():
     try_bench("bsp_lightdark_mpc_steps_per_s", bench_bsp)
     try_bench(
         "bsp_backward_tps@4096",
-        lambda: bench_bsp_backward_batched(batch=4096 if on_tpu else 256,
-                                           reps=50 if on_tpu else 3),
+        lambda: bench_bsp_backward_batched(
+            batch=4096 if on_tpu else 256,
+            reps=50 if on_tpu else 3,
+            engine="pallas" if on_tpu else "scan",
+        ),
     )
     try_bench(
         "gps_dual_eval_tps@4096",
