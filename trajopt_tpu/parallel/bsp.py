@@ -207,6 +207,210 @@ def make_bsp_solver(
     return solve
 
 
+def make_bsp_solver_batched(
+    env,
+    nb_steps: int,
+    nb_iter: int = 25,
+    alphas=DEFAULT_ALPHAS,
+    lmbda: float = 1.0,
+    min_lmbda: float = 1e-6,
+    max_lmbda: float = 1e6,
+    mult_lmbda: float = 1.6,
+    tolfun: float = 1e-8,
+    tolgrad: float = 1e-6,
+    min_imp: float = 0.0,
+    reg: int = 1,
+    engine: str = "pallas",
+    interpret: bool = False,
+):
+    """Batch-of-problems BSP-iLQR: ``solve(mu0s (N,b), sigma0s (N,b,b)) ->
+    (state, trace (nb_iter, N))`` with per-instance iteration semantics
+    identical to :func:`make_bsp_solver` (dense value form).
+
+    ``engine='pallas'`` runs every λ-escalation trial's backward pass for the
+    WHOLE batch as one lane-major Pallas launch (core/pallas_belief.py) with
+    per-instance λ; ``'scan'`` vmaps the scan kernel.  The λ while-loop carries
+    per-instance (λ, Δλ, diverged) masks — an instance whose pass succeeded
+    stops updating, so each instance traces exactly its single-problem λ path.
+    """
+    if engine == "pallas":
+        from ..core.pallas_belief import pallas_bsp_backward
+
+        def bw(cost_b, dyn_b, lam_b):
+            return pallas_bsp_backward(
+                cost_b, dyn_b, lam_b, reg, interpret=interpret
+            )
+    elif engine == "scan":
+        def bw(cost_b, dyn_b, lam_b):
+            return jax.vmap(lambda c, d, l: bsp_backward(c, d, l, reg))(
+                cost_b, dyn_b, lam_b
+            )
+    else:
+        raise ValueError(f"unknown engine {engine!r}")
+
+    alphas = jnp.asarray(alphas)
+    T = nb_steps
+    db, du = env.belief_dim, env.act_dim
+
+    def expand(bref_mu, bref_sigma, uref):
+        dyn = belief_dynamics_expansion(env, bref_mu[:T], bref_sigma[:T], uref)
+        cost = belief_cost_expansion(env, bref_mu, bref_sigma, uref)
+        return cost, dyn
+
+    def forward_all(K, kff, mu0, sigma0, bref_mu, uref):
+        def one(alpha):
+            def step(carry, inp):
+                mu, sigma = carry
+                K_t, kff_t, mu_ref, u_ref = inp
+                u = u_ref + alpha * kff_t + K_t @ (mu - mu_ref)
+                c = env.cost(mu, sigma, u)
+                f, _, phi = belief_ekf_step(env, mu, sigma, u)
+                return (f, phi), (mu, sigma, u, c)
+
+            inputs = (K, kff, bref_mu[:T], uref)
+            (mu_T, sig_T), (mus, sigmas, us, cs) = lax.scan(
+                step, (mu0, sigma0), inputs
+            )
+            c_T = env.cost(mu_T, sig_T, jnp.zeros(du, mu_T.dtype))
+            return (
+                jnp.concatenate([mus, mu_T[None]], axis=0),
+                jnp.concatenate([sigmas, sig_T[None]], axis=0),
+                us,
+                jnp.concatenate([cs, c_T[None]], axis=0),
+            )
+
+        return jax.vmap(one)(alphas)
+
+    def backward_with_lm_batched(cost_b, dyn_b, lmbda0, dlmbda0):
+        """Per-instance λ escalation around the batched backward: the loop runs
+        while ANY instance is active; masked updates keep finished instances
+        on their accepted (out, λ) exactly as their single-problem while."""
+
+        def cond(carry):
+            _, lmbda, _, diverged, first = carry
+            return jnp.any((first | diverged) & (lmbda <= max_lmbda))
+
+        def body(carry):
+            out, lmbda, dlmbda, diverged, first = carry
+            active = (first | diverged) & (lmbda <= max_lmbda)
+            new = bw(cost_b, dyn_b, lmbda)
+
+            def take(old, fresh):
+                act = active.reshape((-1,) + (1,) * (fresh.ndim - 1))
+                return jnp.where(act, fresh, old)
+
+            out_n = jax.tree.map(take, out, new)
+            div_n = jnp.where(active, new[5], diverged)
+            dlmbda_n = jnp.where(
+                active & new[5],
+                jnp.maximum(dlmbda * mult_lmbda, mult_lmbda), dlmbda,
+            )
+            lmbda_n = jnp.where(
+                active & new[5],
+                jnp.maximum(lmbda * dlmbda_n, min_lmbda), lmbda,
+            )
+            return out_n, lmbda_n, dlmbda_n, div_n, jnp.zeros_like(first)
+
+        dummy = bw(cost_b, dyn_b, lmbda0)
+        N = lmbda0.shape[0]
+        init = (dummy, lmbda0, dlmbda0, jnp.zeros(N, bool), jnp.ones(N, bool))
+        out, lmbda, dlmbda, diverged, _ = lax.while_loop(cond, body, init)
+        return out, lmbda, dlmbda, diverged
+
+    def post(state, lc, dS, lmbda, dlmbda, diverged):
+        """Per-instance accept/reject — the tail of make_bsp_solver.iteration,
+        vmapped over the batch."""
+        backpass_done = ~diverged
+        g_norm = jnp.mean(
+            jnp.max(jnp.abs(lc.kff) / (jnp.abs(state.uref) + 1.0), axis=0)
+        )
+        grad_done = (g_norm < tolgrad) & (lmbda < 1e-5)
+
+        mus_all, sigmas_all, us_all, costs_all = forward_all(
+            lc.K, lc.kff, state.bref_mu[0], state.bref_sigma[0],
+            state.bref_mu, state.uref,
+        )
+        returns = jnp.sum(costs_all, axis=1)
+        dreturns = state.last_return - returns
+        expected = -1.0 * alphas * (dS[0] + alphas * dS[1])
+        imp = dreturns / expected
+        ok = (imp > min_imp) & backpass_done & jnp.isfinite(returns)
+        accepted = jnp.any(ok)
+        idx = jnp.argmax(ok)
+
+        dlmbda_acc = jnp.minimum(dlmbda / mult_lmbda, 1.0 / mult_lmbda)
+        lmbda_acc = lmbda * dlmbda_acc * (lmbda > min_lmbda)
+        dlmbda_rej = jnp.maximum(dlmbda * mult_lmbda, mult_lmbda)
+        lmbda_rej = jnp.maximum(lmbda * dlmbda_rej, min_lmbda)
+
+        take = accepted & ~grad_done
+        sel = lambda a, b: jnp.where(take, a, b)
+        new = BSPState(
+            bref_mu=jnp.where(take, mus_all[idx], state.bref_mu),
+            bref_sigma=jnp.where(take, sigmas_all[idx], state.bref_sigma),
+            uref=jnp.where(take, us_all[idx], state.uref),
+            K=jnp.where(take, lc.K, state.K),
+            kff=jnp.where(take, lc.kff, state.kff),
+            lmbda=sel(lmbda_acc, lmbda_rej),
+            dlmbda=sel(dlmbda_acc, dlmbda_rej),
+            last_return=sel(returns[idx], state.last_return),
+            done=(
+                grad_done
+                | (take & (dreturns[idx] < tolfun))
+                | (~accepted & (lmbda_rej > max_lmbda))
+            ),
+        )
+        # frozen instances (done) keep their state — the vmapped analogue of
+        # make_bsp_solver's lax.cond(state.done, identity, work)
+        return jax.tree.map(
+            lambda a, b: jnp.where(state.done, a, b), state, new
+        )
+
+    def iteration(state_b, _):
+        cost_b, dyn_b = jax.vmap(expand)(
+            state_b.bref_mu, state_b.bref_sigma, state_b.uref
+        )
+        (lc, _, _, _, dS, _), lmbda_b, dlmbda_b, div_b = (
+            backward_with_lm_batched(
+                cost_b, dyn_b, state_b.lmbda, state_b.dlmbda
+            )
+        )
+        state_b = jax.vmap(post)(state_b, lc, dS, lmbda_b, dlmbda_b, div_b)
+        return state_b, state_b.last_return
+
+    def solve(mu0s: Array, sigma0s: Array, kff_inits: Array | None = None):
+        N = mu0s.shape[0]
+        dtype = mu0s.dtype
+        kff0 = (
+            jnp.zeros((N, T, du), dtype) if kff_inits is None else kff_inits
+        )
+        K0 = jnp.zeros((N, T, du, db), dtype)
+
+        def init_one(mu0, sigma0, kff0_i, K0_i):
+            bref_mu0 = jnp.zeros((T + 1, db), dtype).at[0].set(mu0)
+            mus_all, sigmas_all, us_all, costs_all = forward_all(
+                K0_i, kff0_i, mu0, sigma0, bref_mu0, jnp.zeros((T, du), dtype)
+            )
+            finite = jnp.all(mus_all < 1e8, axis=(1, 2))
+            idx = jnp.argmax(finite)
+            return BSPState(
+                bref_mu=mus_all[idx],
+                bref_sigma=sigmas_all[idx],
+                uref=us_all[idx],
+                K=K0_i, kff=kff0_i,
+                lmbda=jnp.asarray(lmbda, dtype),
+                dlmbda=jnp.asarray(1.0, dtype),
+                last_return=jnp.sum(costs_all[idx]),
+                done=jnp.asarray(False),
+            )
+
+        state_b = jax.vmap(init_one)(mu0s, sigma0s, kff0, K0)
+        state_b, trace = lax.scan(iteration, state_b, None, length=nb_iter)
+        return state_b, trace
+
+    return solve
+
+
 def make_bsp_mpc_runner(
     env,
     horizon: int,
