@@ -8,7 +8,9 @@ Jacobians, λ-escalated backward pass over the (S, s, τ) belief value, vmapped 
 belief rollouts, accept/reject — is one jitted program (:func:`make_bsp_solver`),
 and the full EKF-in-the-loop MPC episode is one ``lax.scan``
 (:func:`make_bsp_mpc_runner`), vmappable over episode batches
-(:func:`run_bsp_mpc_batch`).
+(:func:`run_bsp_mpc_batch`).  :func:`make_bsp_solver_batched` is the
+batch-of-problems form: per-instance masked λ escalation around ONE packed
+Pallas belief-backward launch per trial (core/pallas_belief.py).
 """
 
 from __future__ import annotations
