@@ -203,7 +203,9 @@ def make_rgps_solver(
         # Upper bracket: the host uses 1e64 (mbrgps.py:423), which overflows a
         # float32 cast; clamp to a dtype-representable bound whose geometric-mean
         # products with min_b = 1e-4 stay finite.
-        big = 1e64 if np.finfo(np.dtype(dt)).max > 1e65 else 1e30
+        # compare as Python floats: NEP-50 would cast 1e65 to the array dtype,
+        # emitting a spurious overflow warning in f32
+        big = 1e64 if float(np.finfo(np.dtype(dt)).max) > 1e65 else 1e30
         init = (
             jnp.asarray(1e16, dt), jnp.asarray(1e-4, dt), jnp.asarray(big, dt),
             jnp.asarray(1e16, dt), jnp.asarray(1e16, dt), jnp.asarray(jnp.inf, dt),
@@ -231,7 +233,9 @@ def make_rgps_solver(
         reg_bound = param_regularizer_kl_bound
         nom_bound = param_nominal_kl_bound
         dt = mu0.dtype
-        big = 1e64 if np.finfo(np.dtype(dt)).max > 1e65 else 1e30
+        # compare as Python floats: NEP-50 would cast 1e65 to the array dtype,
+        # emitting a spurious overflow warning in f32
+        big = 1e64 if float(np.finfo(np.dtype(dt)).max) > 1e65 else 1e30
 
         def solve_at(eta, last):
             agCpp, agcp, _ = parameter_augment_cost(last, eta)
