@@ -108,3 +108,133 @@ def test_ilqr_pendulum_converges_f32(f32):
     ret = float(state.last_return)
     assert np.isfinite(ret)
     assert ret < 100.0  # f64 converged value ~86.35 (verify recipe)
+
+
+def test_pallas_elqr_engine_f32(f32):
+    """The fused Pallas eLQR sweeps in f32 (the dtype they run on TPU) must
+    track the scan engine — guards the in-kernel jvp linearization and
+    Gauss-Jordan inverses against f32 conditioning regressions."""
+    from trajopt_tpu.parallel.elqr import make_elqr_solver_batched
+
+    env = trajopt_tpu.make("Cartpole-TO-v0")
+    N, T, nb_iter = 2, 8, 3
+    keys = jax.random.split(jax.random.PRNGKey(0), N)
+    x0s = jnp.zeros((N, env.dm_state), jnp.float32).at[:, 1].add(
+        0.02 * jnp.arange(N, dtype=jnp.float32)
+    )
+
+    _, _, _, tr_s = jax.jit(
+        make_elqr_solver_batched(env, T, nb_iter, engine="scan")
+    )(keys, x0s)
+    _, _, _, tr_p = make_elqr_solver_batched(
+        env, T, nb_iter, engine="pallas", interpret=True
+    )(keys, x0s)
+    assert tr_p.dtype == jnp.float32
+    # atol floors the comparison above denormal-scale converged costs (~1e-30)
+    np.testing.assert_allclose(tr_p, tr_s, rtol=2e-4, atol=1e-8)
+
+
+def test_pallas_belief_backward_f32(f32):
+    """Packed belief backward in f32 vs the vmapped scan kernel."""
+    from trajopt_tpu.core.belief import (
+        BeliefCostExpansion,
+        BeliefDynamicsExpansion,
+        bsp_backward,
+    )
+    from trajopt_tpu.core.pallas_belief import pallas_bsp_backward
+
+    rng = np.random.default_rng(7)
+    N, T, b, a = 4, 10, 2, 2
+    b2 = b * b
+
+    def spd(d, shape, s):
+        M = rng.standard_normal(shape + (d, d))
+        return jnp.asarray(
+            s * np.einsum("...ij,...kj->...ik", M, M) + d * np.eye(d),
+            jnp.float32,
+        )
+
+    r32 = lambda *sh: jnp.asarray(rng.standard_normal(sh), jnp.float32)
+    cost = BeliefCostExpansion(
+        Q=spd(b, (N, T + 1), 0.1), q=r32(N, T + 1, b),
+        R=spd(a, (N, T + 1), 1.0), r=r32(N, T + 1, a),
+        P=0.01 * r32(N, T + 1, b, a), p=r32(N, T + 1, b2),
+    )
+    dyn = BeliefDynamicsExpansion(
+        F=jnp.asarray(np.eye(b), jnp.float32) + 0.05 * r32(N, T, b, b),
+        G=0.2 * r32(N, T, b, a),
+        X=0.05 * r32(N, T, b2, b),
+        Y=jnp.asarray(0.9 * np.eye(b2), jnp.float32) + 0.02 * r32(N, T, b2, b2),
+        Z=0.05 * r32(N, T, b2, a),
+        T=0.05 * r32(N, T, b2, b),
+        U=jnp.asarray(0.8 * np.eye(b2), jnp.float32) + 0.02 * r32(N, T, b2, b2),
+        V=0.05 * r32(N, T, b2, a),
+    )
+    lam = jnp.full((N,), 0.5, jnp.float32)
+    ref = jax.vmap(lambda c, d, l: bsp_backward(c, d, l, 1))(cost, dyn, lam)
+    out = pallas_bsp_backward(cost, dyn, lam, 1, interpret=True)
+    assert out[1].dtype == jnp.float32
+    np.testing.assert_allclose(out[0].K, ref[0].K, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(out[1], ref[1], rtol=1e-4, atol=1e-5)
+
+
+def test_rgps_unrolled_chain_f32(f32):
+    """The unrolled-linalg RGPS adversary chain in f32: one fixed-point trip
+    on a small problem stays finite and matches the f64-path structure
+    (guards chol_unrolled's NaN semantics and jitters at TPU dtype)."""
+    from trajopt_tpu.core.cubature import (
+        cubature_forward_pass,
+        parameter_augment_cost,
+        parameter_backward_pass,
+    )
+    from trajopt_tpu.core.types import (
+        LinearGaussianPolicy,
+        MatrixNormalParams,
+        QuadraticCost,
+    )
+
+    rng = np.random.default_rng(3)
+    T, dx, du = 10, 2, 1
+    p1 = dx + du + 1
+    p = dx * p1
+
+    def spd(d, n, s):
+        M = rng.standard_normal((n, d, d))
+        return jnp.asarray(
+            s * np.einsum("nij,nkj->nik", M, M) + d * np.eye(d), jnp.float32
+        )
+
+    cost = QuadraticCost(
+        Cxx=spd(dx, T + 1, 0.1),
+        cx=jnp.asarray(rng.standard_normal((T + 1, dx)), jnp.float32),
+        Cuu=spd(du, T + 1, 1.0),
+        cu=jnp.asarray(rng.standard_normal((T + 1, du)), jnp.float32),
+        Cxu=jnp.zeros((T + 1, dx, du), jnp.float32),
+        c0=jnp.zeros(T + 1, jnp.float32),
+    )
+    nominal = MatrixNormalParams(
+        mu=jnp.asarray(0.1 * rng.standard_normal((T, p)), jnp.float32),
+        sigma=jnp.broadcast_to(
+            1e-4 * jnp.eye(p, dtype=jnp.float32), (T, p, p)
+        ),
+    )
+    ctl = LinearGaussianPolicy(
+        K=jnp.asarray(0.05 * rng.standard_normal((T, du, dx)), jnp.float32),
+        kff=jnp.asarray(0.05 * rng.standard_normal((T, du)), jnp.float32),
+        sigma=jnp.broadcast_to(jnp.eye(du, dtype=jnp.float32), (T, du, du)),
+    )
+    noise = jnp.broadcast_to(1e-4 * jnp.eye(dx, dtype=jnp.float32), (T, dx, dx))
+    mu0 = jnp.zeros(dx, jnp.float32)
+    sigma0 = 0.01 * jnp.eye(dx, dtype=jnp.float32)
+
+    agCpp, agcp, _ = parameter_augment_cost(nominal, jnp.float32(100.0))
+    xdist, _, _ = cubature_forward_pass(mu0, sigma0, nominal, noise, ctl)
+    param, value, diverged = parameter_backward_pass(
+        xdist, ctl, noise, cost, agCpp, agcp, jnp.float32(200.0)
+    )
+    assert param.mu.dtype == jnp.float32
+    assert not bool(diverged)
+    assert np.all(np.isfinite(np.asarray(param.mu)))
+    assert np.all(np.isfinite(np.asarray(param.sigma)))
+    w = np.linalg.eigvalsh(np.asarray(param.sigma))
+    assert np.all(w > 0)
