@@ -9,6 +9,10 @@ backend too; pass --cpu to force it).
 3. horizon sharding: exact Riccati with the time axis block-partitioned over a
    mesh, halos exchanged by a log-depth ppermute ladder
 4. batch-native exact LQR: N Riccati solves with ONE packed Pallas backward
+5. batch-native eLQR: each sweep one fused Pallas launch with in-kernel
+   linearization (engine='pallas' on TPU; the reference has no batched eLQR)
+6. batch-native belief-space iLQR: per-instance masked lambda escalation
+   around ONE packed belief-backward launch per trial
 """
 import sys, pathlib
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
@@ -60,3 +64,34 @@ x0s = jnp.asarray(np.array(mu0))[None] + 0.1 * jax.random.normal(
 _, _, _, costs, div = solve(x0s.astype(jnp.float32 if on_tpu else x0s.dtype))
 print(f"[4] batched Riccati x32 ({engine}): mean cost "
       f"{float(jnp.mean(jnp.sum(costs, axis=1))):.2f}, diverged {int(jnp.sum(div))}")
+
+# 5. batch-native eLQR: three fused Pallas launches per iteration on TPU
+from trajopt_tpu.parallel.elqr import make_elqr_solver_batched
+
+cp = trajopt_tpu.make("Cartpole-TO-v0")
+solve_elqr = make_elqr_solver_batched(cp, nb_steps=20, nb_iter=4,
+                                      engine="pallas" if on_tpu else "scan")
+if engine == "scan":
+    solve_elqr = jax.jit(solve_elqr)
+keys = jax.random.split(jax.random.PRNGKey(3), 8)
+x0e = jnp.zeros((8, cp.dm_state), jnp.float32 if on_tpu else jnp.float64)
+x0e = x0e.at[:, 1].add(0.3 + 0.05 * jnp.arange(8, dtype=x0e.dtype))  # pole tilt
+_, _, _, tr = solve_elqr(keys, x0e)
+print(f"[5] batched eLQR x8 ({engine}): mean final cost "
+      f"{float(jnp.mean(tr[:, -1])):.2f}")
+
+# 6. batch-native belief-space iLQR with the packed belief backward
+from trajopt_tpu.parallel.bsp import make_bsp_solver_batched
+
+ld = trajopt_tpu.make("LightDark-TO-v0")
+solve_bsp = make_bsp_solver_batched(ld, nb_steps=10, nb_iter=5, engine=engine)
+if engine == "scan":
+    solve_bsp = jax.jit(solve_bsp)
+mu0, sigma0 = ld.init()
+dtype = jnp.float32 if on_tpu else jnp.float64
+mu0s = jnp.tile(jnp.asarray(np.array(mu0), dtype), (8, 1)) \
+    + 0.05 * jnp.arange(8, dtype=dtype)[:, None]
+sigma0s = jnp.tile(jnp.asarray(np.array(sigma0), dtype), (8, 1, 1))
+state, trace = solve_bsp(mu0s, sigma0s)
+print(f"[6] batched BSP-iLQR x8 ({engine}): mean final cost "
+      f"{float(jnp.mean(state.last_return)):.2f}")
