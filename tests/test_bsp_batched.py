@@ -41,3 +41,22 @@ def test_bsp_batched_matches_single(engine, interpret):
     np.testing.assert_allclose(np.asarray(trace), traces_ref, rtol=1e-8,
                                atol=1e-8)
     assert np.all(np.isfinite(np.asarray(state.last_return)))
+
+
+def test_bsp_batched_sharded_matches_unsharded():
+    """mesh= block-shards the problem axis; per-shard λ loops must reproduce
+    the unsharded batched solver exactly (8-device virtual CPU mesh)."""
+    from trajopt_tpu.parallel.mesh import make_mesh
+
+    N, T, nb_iter = 8, 8, 4
+    env, mu0s, sigma0s = _problem(N)
+    base = jax.jit(make_bsp_solver_batched(env, nb_steps=T, nb_iter=nb_iter,
+                                           engine="scan"))
+    mesh = make_mesh(("dp",))
+    sharded = jax.jit(make_bsp_solver_batched(
+        env, nb_steps=T, nb_iter=nb_iter, engine="scan", mesh=mesh
+    ))
+    _, tr_ref = base(mu0s, sigma0s)
+    _, tr_sh = sharded(mu0s, sigma0s)
+    np.testing.assert_allclose(np.asarray(tr_sh), np.asarray(tr_ref),
+                               rtol=1e-9, atol=1e-9)

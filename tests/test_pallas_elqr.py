@@ -51,3 +51,24 @@ def test_pallas_elqr_matches_scan_pendulum_periodic():
     np.testing.assert_allclose(tr_p, tr_s, rtol=1e-8, atol=1e-8)
     np.testing.assert_allclose(ctl_p.K, ctl_s.K, rtol=1e-7, atol=1e-8)
     np.testing.assert_allclose(ctl_p.kff, ctl_s.kff, rtol=1e-7, atol=1e-8)
+
+
+def test_elqr_batched_sharded_matches_unsharded():
+    """mesh= block-shards the eLQR problem axis (8-device virtual CPU mesh)."""
+    from trajopt_tpu.parallel.mesh import make_mesh
+
+    env = trajopt_tpu.make("Cartpole-TO-v0")
+    N, T, nb_iter = 8, 8, 3
+    keys = jax.random.split(jax.random.PRNGKey(2), N)
+    x0s = jnp.tile(jnp.asarray(np.array(env.x0)), (N, 1)) \
+        + 0.02 * jnp.arange(N, dtype=jnp.float64)[:, None]
+
+    base = jax.jit(make_elqr_solver_batched(env, T, nb_iter, engine="scan"))
+    mesh = make_mesh(("dp",))
+    sharded = jax.jit(make_elqr_solver_batched(
+        env, T, nb_iter, engine="scan", mesh=mesh
+    ))
+    _, _, _, tr_ref = base(keys, x0s)
+    _, _, _, tr_sh = sharded(keys, x0s)
+    np.testing.assert_allclose(np.asarray(tr_sh), np.asarray(tr_ref),
+                               rtol=1e-9, atol=1e-9)

@@ -224,10 +224,15 @@ def make_bsp_solver_batched(
     reg: int = 1,
     engine: str = "pallas",
     interpret: bool = False,
+    mesh=None,
+    axis_name: str = "dp",
 ):
     """Batch-of-problems BSP-iLQR: ``solve(mu0s (N,b), sigma0s (N,b,b)) ->
     (state, trace (nb_iter, N))`` with per-instance iteration semantics
     identical to :func:`make_bsp_solver` (dense value form).
+
+    ``mesh`` block-shards the problem axis (each device escalates λ and
+    launches the packed backward on its own shard).
 
     ``engine='pallas'`` runs every λ-escalation trial's backward pass for the
     WHOLE batch as one lane-major Pallas launch (core/pallas_belief.py) with
@@ -410,7 +415,24 @@ def make_bsp_solver_batched(
         state_b, trace = lax.scan(iteration, state_b, None, length=nb_iter)
         return state_b, trace
 
-    return solve
+    if mesh is None:
+        return solve
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def solve_two_arg(mu0s, sigma0s):
+        return solve(mu0s, sigma0s)
+
+    return shard_map(
+        solve_two_arg, mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name)),
+        out_specs=(P(axis_name), P(None, axis_name)),
+        # fresh zero carries are replicated and only combine with per-shard
+        # data (same relaxation as run_mpc_batch); per-shard λ while-loops run
+        # independent trip counts by design
+        check_vma=False,
+    )
 
 
 def make_bsp_mpc_runner(

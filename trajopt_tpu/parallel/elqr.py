@@ -68,6 +68,8 @@ def make_elqr_solver_batched(
     engine: str = "scan",
     time_chunk: int | None = None,
     interpret: bool = False,
+    mesh=None,
+    axis_name: str = "dp",
 ):
     """Batch-of-problems eLQR: ``solve(keys (N,2), x0s (N, dx)) ->
     (ctl, xs, us, trace (N, nb_iter+1))``, iteration semantics identical to
@@ -77,14 +79,33 @@ def make_elqr_solver_batched(
     chains).  ``engine='pallas'`` runs each sweep as ONE lane-major Pallas
     launch with in-kernel linearization (core/pallas_elqr.py) — three launches
     per iteration for the whole batch, the eLQR analogue of the packed iLQR/GPS
-    engines.  Needs a tile-protocol env."""
+    engines.  Needs a tile-protocol env.
+
+    ``mesh`` block-shards the problem axis: each device runs its own sweep
+    launches on its shard (the dp axis of SURVEY §2.4; the reference has no
+    batched eLQR at all)."""
+    def _maybe_shard(solve):
+        if mesh is None:
+            return solve
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        return shard_map(
+            solve, mesh=mesh,
+            in_specs=(P(axis_name), P(axis_name)),
+            out_specs=(P(axis_name), P(axis_name), P(axis_name), P(axis_name)),
+            # fresh zero carries inside the solver are replicated and only
+            # combine with per-shard data (same relaxation as run_mpc_batch)
+            check_vma=False,
+        )
+
     if engine == "scan":
         base = make_elqr_solver(env, nb_steps, nb_iter)
 
         def solve_scan(keys: Array, x0s: Array):
             return jax.vmap(base)(keys, x0s)
 
-        return solve_scan
+        return _maybe_shard(solve_scan)
 
     if engine != "pallas":
         raise ValueError(f"unknown engine {engine!r}")
@@ -176,4 +197,4 @@ def make_elqr_solver_batched(
         xs, us, _ = jax.vmap(lambda c, x0: elqr_rollout(env, c, x0))(ctl, x0s)
         return ctl, xs, us, trace
 
-    return solve
+    return _maybe_shard(solve)
