@@ -302,7 +302,7 @@ int gps_dual_chain_cpu(
     double* agCuu = new double[T * uu]; double* agcu = new double[T * du];
     double* agCxu = new double[T * xu]; double* agc0 = new double[T];
     double* lam = new double[uu]; double* scr = new double[uu];
-    double* tmp_xu = new double[xu]; double* tmp_uu = new double[uu];
+    double* tmp_xu = new double[xu];
     double* tmp_du = new double[du];
     int fail = 0;
 
@@ -471,12 +471,10 @@ int gps_dual_chain_cpu(
         std::memcpy(mu_x, mu0, sizeof(double) * dx);
         std::memcpy(sig_x, sigma0, sizeof(double) * xx);
         double* mu_u = new double[du]; double* sig_u = new double[uu];
-        double* crossT = new double[du * dx];   // K sig_x  (du, dx)
         double* KS = new double[du * dx];
         double* qlam = new double[uu]; double* qscr = new double[uu];
         double* dK = new double[du * dx]; double* dk = new double[du];
         double* AB = new double[dx * (dx + du)];
-        double* SA = new double[(dx + du) * (dx + du)];
         int dxu = dx + du;
         double* sig_xu = new double[dxu * dxu];
         double* ABS = new double[dx * dxu];
@@ -498,13 +496,13 @@ int gps_dual_chain_cpu(
             const double* okt = kff + t * du;
             const double* oSt = Sctl + t * uu;
             std::memcpy(qscr, oSt, sizeof(double) * uu);
-            chol_fact(qscr, du);
+            if (!chol_fact(qscr, du)) { fail = t + 1; break; }
             double logdet_q = logdet_from_fact(qscr, du);
             for (int i = 0; i < uu; ++i) qlam[i] = 0.0;
             for (int i = 0; i < du; ++i) qlam[i * du + i] = 1.0;
             chol_solve_fact(qscr, qlam, du, du);
             std::memcpy(scr, nSt, sizeof(double) * uu);
-            chol_fact(scr, du);
+            if (!chol_fact(scr, du)) { fail = t + 1; break; }
             double logdet_p = logdet_from_fact(scr, du);
             for (int i = 0; i < du * dx; ++i) dK[i] = oKt[i] - nKt[i];
             for (int i = 0; i < du; ++i) dk[i] = nkt[i] - okt[i];
@@ -563,8 +561,8 @@ int gps_dual_chain_cpu(
             for (int i = 0; i < dx; ++i) mu_x[i] = newmu[i] + qx[i] + cvec[t * dx + i];
         }
         delete[] mu_x; delete[] sig_x; delete[] mu_u; delete[] sig_u;
-        delete[] crossT; delete[] KS; delete[] qlam; delete[] qscr;
-        delete[] dK; delete[] dk; delete[] AB; delete[] SA; delete[] sig_xu;
+        delete[] KS; delete[] qlam; delete[] qscr;
+        delete[] dK; delete[] dk; delete[] AB; delete[] sig_xu;
         delete[] ABS;
     }
 
@@ -572,7 +570,7 @@ int gps_dual_chain_cpu(
     out[1] = kl_sum;
 
     delete[] agCxx; delete[] agcx; delete[] agCuu; delete[] agcu; delete[] agCxu;
-    delete[] agc0; delete[] lam; delete[] scr; delete[] tmp_xu; delete[] tmp_uu;
+    delete[] agc0; delete[] lam; delete[] scr; delete[] tmp_xu;
     delete[] tmp_du; delete[] V; delete[] v; delete[] newK; delete[] newk;
     delete[] newS; delete[] Vfull0; delete[] vfull0; delete[] VA; delete[] VB;
     delete[] Qxx; delete[] Quu; delete[] Qux; delete[] qx; delete[] qu; delete[] Vc;

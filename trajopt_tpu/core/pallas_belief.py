@@ -46,6 +46,7 @@ from .pallas_lqr import (
     _t,
     _to_lanes,
     lane_pad,
+    sub_block,
 )
 from .types import LinearPolicy
 
@@ -218,9 +219,7 @@ def pallas_bsp_backward(
         _to_lanes(lmbda[:, None, None], n_pad)[0, 0],
     ]
     nsub = ins[0].shape[2]
-    sub = min(8, nsub)
-    while nsub % sub:
-        sub -= 1
+    sub = sub_block(nsub)
 
     def tspec(e):
         return pl.BlockSpec(

@@ -38,7 +38,7 @@ from jax import Array
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_lqr import LANES, _from_lanes, _to_lanes, lane_pad
+from .pallas_lqr import LANES, _from_lanes, _to_lanes, lane_pad, sub_block
 from .pallas_rollout import tile_clip_act, tile_clip_state, tile_dynamics
 from .pscan_lqr import _gj_inv, _lmm, _lmv, _lt
 
@@ -429,13 +429,6 @@ def _cspec(e, sub):
                         memory_space=pltpu.VMEM)
 
 
-def _sub_of(nsub):
-    sub = min(8, nsub)
-    while nsub % sub:
-        sub -= 1
-    return sub
-
-
 def _stream_shapes(T, es, nsub, dtype):
     return [jax.ShapeDtypeStruct((T, e, nsub, LANES), dtype) for e in es]
 
@@ -452,7 +445,7 @@ def elqr_forward_pallas(env, K_l, kff_l, goVn_l, govn_l, x0_l, *,
     if time_chunk is None:
         time_chunk = pick_time_chunk_elqr(T)
     tc = T // time_chunk
-    sub = _sub_of(nsub)
+    sub = sub_block(nsub)
 
     kernel = partial(_forward_kernel, env=env, dx=dx, du=du,
                      time_chunk=time_chunk, tc=tc)
@@ -489,7 +482,7 @@ def elqr_backward_pallas(env, iK_l, ikff_l, comeV_l, comev_l, comeVT_l,
     if time_chunk is None:
         time_chunk = pick_time_chunk_elqr(T)
     tc = T // time_chunk
-    sub = _sub_of(nsub)
+    sub = sub_block(nsub)
 
     kernel = partial(_backward_kernel, env=env, dx=dx, du=du,
                      time_chunk=time_chunk, tc=tc)
@@ -530,7 +523,7 @@ def elqr_rollout_pallas(env, K_l, kff_l, x0_l, *, time_chunk=None,
     if time_chunk is None:
         time_chunk = pick_time_chunk_elqr(T)
     tc = T // time_chunk
-    sub = _sub_of(nsub)
+    sub = sub_block(nsub)
 
     kernel = partial(_rollout_kernel, env=env, dx=dx, du=du,
                      time_chunk=time_chunk, tc=tc)

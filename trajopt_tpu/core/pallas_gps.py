@@ -46,6 +46,7 @@ from .pallas_lqr import (
     _mv,
     _mv_tn,
     _sym,
+    sub_block,
     _t,
     _to_lanes,
 )
@@ -376,9 +377,7 @@ def _pallas_gps_backward_jit(cost, dyn, old, alpha, time_chunk, interpret):
 
 def _geom_of(packed: PackedGPS):
     t_pad, _, nsub, _ = packed["A"].shape
-    sub = min(8, nsub)
-    while nsub % sub:
-        sub -= 1
+    sub = sub_block(nsub)
     return t_pad, nsub, sub, nsub // sub
 
 

@@ -357,6 +357,15 @@ def lane_pad(N: int) -> int:
     return max(LANES, -(-N // LANES) * LANES)
 
 
+def sub_block(nsub: int, max_sub: int = 8) -> int:
+    """Largest divisor of ``nsub`` up to ``max_sub`` — the sublane block size
+    each grid step processes (shared by every lane-major kernel wrapper)."""
+    sub = min(max_sub, nsub)
+    while nsub % sub:
+        sub -= 1
+    return sub
+
+
 def pack_scalar(x: Array, n_pad: int) -> Array:
     """Per-instance scalar ``(N,)`` → lane-major ``(nsub, LANES)`` (λ, masks…)."""
     return _to_lanes(x[:, None, None], n_pad)[0, 0]
@@ -447,10 +456,7 @@ def _call_packed(
 ) -> tuple[Array, Array, Array, Array]:
     t_pad, _, nsub, _ = packed["A"].shape
     dtype = packed["A"].dtype
-    sub = min(8, nsub)
-    # batch blocks must tile the sublane stack evenly
-    while nsub % sub:
-        sub -= 1
+    sub = sub_block(nsub)   # batch blocks must tile the sublane stack evenly
     nb = nsub // sub
 
     tc = t_pad // time_chunk

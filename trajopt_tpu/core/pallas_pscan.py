@@ -5,16 +5,18 @@
 dominate).  This kernel runs the ENTIRE log-depth suffix-scan tree — element
 construction from the raw quadratic model, ⌈log₂T⌉ combine levels, and the
 per-step gain solves — as ONE Pallas program with every operand resident in VMEM
-in a **time-on-lanes** layout: each small-matrix entry is a ``(1, T_pad)`` plane,
-so a combine level is straight-line VPU code over all timesteps at once and a
-"shift by d" is a single in-VMEM lane roll + identity mask instead of an XLA
-relayout.  Total footprint at T = 1000, dx = 4: ~0.4 MB — far under VMEM.
+in a **time-tiled** layout: each small-matrix entry is an ``(8, C)`` tile with
+timestep ``t`` at ``(t // C, t mod C)``, so every plane is one fully-utilized
+vector register (vs the round-2 ``(1, T_pad)`` layout's 1/8 sublane use — 8×
+fewer VPU ops per combine level) and a "shift by d" is a lane roll plus a
+sublane-roll select (two in-register shuffles).  Total footprint at T = 1000,
+dx = 4: ~0.4 MB — far under VMEM.
 
 Composition algebra and conventions are exactly :mod:`core.pscan_lqr`
 (Särkkä & García-Fernández elements; delta-convention wrapper at λ = 0 matching
 ilqr/src/util.cpp:83-182, kills its O(T) sequential loop at line 126).  Parity
 with the sequential kernel is tested in interpreter mode
-(tests/test_pallas_pscan.py); the ≥3× batch-1 latency target vs the XLA
+(tests/test_pallas_pscan.py); the batch-1 latency target vs the XLA
 associative scan is measured in bench.py on TPU.
 """
 
@@ -32,44 +34,53 @@ from .pscan_lqr import _gj_inv, _lmm, _lmv, _lt
 from .types import LinearPolicy, QuadraticCost, QuadraticValue
 
 LANES = 128
+SUBS = 8
 
 
 def _rows_of(ref, n, m):
-    """(n*m, T_pad) ref → list-of-lists of (1, T_pad) planes."""
-    return [[ref[i * m + j : i * m + j + 1, :] for j in range(m)] for i in range(n)]
+    """(n*m*8, C) ref → list-of-lists of (8, C) time tiles."""
+    return [
+        [ref[(i * m + j) * SUBS : (i * m + j + 1) * SUBS, :] for j in range(m)]
+        for i in range(n)
+    ]
 
 
 def _vec_of(ref, n):
-    return [ref[i : i + 1, :] for i in range(n)]
+    return [ref[i * SUBS : (i + 1) * SUBS, :] for i in range(n)]
 
 
-def _store_mat(ref, M):
-    n, m = len(M), len(M[0])
-    for i in range(n):
-        for j in range(m):
-            ref[i * m + j : i * m + j + 1, :] = M[i][j]
+def _make_roll(c_lanes: int, lane_iota, *, mosaic: bool):
+    """Left-rotate an (8, C) time tile by d positions in the t = s·C + l
+    ordering: a lane rotation by d mod C, then a per-column select between the
+    sublane rotations by d//C and d//C + 1 (columns that wrapped past C take
+    their value from the next sublane).  Under Mosaic both rotations are
+    in-register shuffles (``pltpu.roll``); the plain-XLA test path uses
+    ``jnp.roll``."""
 
+    if mosaic:
+        def rot(p, k, axis):
+            n = p.shape[axis]
+            return p if k % n == 0 else pltpu.roll(p, (n - k) % n, axis)
+    else:
+        def rot(p, k, axis):
+            return p if k % p.shape[axis] == 0 else jnp.roll(p, -k, axis)
 
-def _store_vec(ref, v):
-    for i in range(len(v)):
-        ref[i : i + 1, :] = v[i]
+    def roll(p, d: int):
+        dp, k = d % c_lanes, d // c_lanes
+        if dp == 0:
+            return rot(p, k, 0)
+        q = rot(p, dp, 1)
+        lo = rot(q, k, 0)
+        hi = rot(q, k + 1, 0)
+        return jnp.where(lane_iota < c_lanes - dp, lo, hi)
 
-
-def _roll_mosaic(p, d: int):
-    # pltpu.roll requires a non-negative shift; left-rotate by d == right-rotate
-    # by N − d
-    return pltpu.roll(p, (p.shape[1] - d) % p.shape[1], 1)
-
-
-def _roll_jnp(p, d: int):
-    return jnp.roll(p, -d, axis=1)
+    return roll
 
 
 def _shift_element(el, d: int, dx: int, mask, roll):
-    """Element planes at position t ← value at t+d; positions whose partner
+    """Element tiles at position t ← value at t+d; positions whose partner
     index exceeds the terminal (``mask`` False) take the composition identity
-    (A = I, rest 0).  ``roll`` is a lane rotation — ``pltpu.roll`` under Mosaic
-    (in-register lane shuffle), ``jnp.roll`` on the plain-XLA test path."""
+    (A = I, rest 0)."""
     A, b, C, eta, J = el
 
     def sh(p, fill):
@@ -85,7 +96,7 @@ def _shift_element(el, d: int, dx: int, mask, roll):
 
 
 def _combine_planes(e1, e2, dx):
-    """(A, b, C, eta, J) composition in plane form — core/pscan_lqr.combine."""
+    """(A, b, C, eta, J) composition in tile form — core/pscan_lqr.combine."""
     A1, b1, C1, n1, J1 = e1
     A2, b2, C2, n2, J2 = e2
 
@@ -114,7 +125,7 @@ def _combine_planes(e1, e2, dx):
 
 
 def _chol_planes(A):
-    """Unrolled Cholesky on plane lists (same recurrence as pallas_lqr._chol)."""
+    """Unrolled Cholesky on tile lists (same recurrence as pallas_lqr._chol)."""
     n = len(A)
     L = [[None] * n for _ in range(n)]
     inv_d = [None] * n
@@ -150,15 +161,18 @@ def _chol_solve_mat_planes(L, inv_d, B):
 
 def _pscan_compute(
     q_in, qv_in, r_in, rv_in, m_in, a_in, b_in,
-    *, dx: int, du: int, T: int, t_pad: int, n_levels: int, roll,
+    *, dx: int, du: int, T: int, c_lanes: int, n_levels: int, mosaic: bool,
 ):
-    """The full computation on (entries, t_pad) plane arrays — pure jnp, so it
-    runs identically inside the Pallas kernel (Mosaic) and as a plain jitted
+    """The full computation on (entries·8, C) time-tiled arrays — pure jnp, so
+    it runs identically inside the Pallas kernel (Mosaic) and as a plain jitted
     function (CPU tests; the Pallas interpreter is pathologically slow on a
     body this unrolled)."""
-    t_iota = jax.lax.broadcasted_iota(jnp.int32, (1, t_pad), 1)
+    s_iota = jax.lax.broadcasted_iota(jnp.int32, (SUBS, c_lanes), 0)
+    l_iota = jax.lax.broadcasted_iota(jnp.int32, (SUBS, c_lanes), 1)
+    t_iota = s_iota * c_lanes + l_iota
     is_term = t_iota == T
     before_term = t_iota < T
+    roll = _make_roll(c_lanes, l_iota, mosaic=mosaic)
 
     Q = _rows_of(q_in, dx, dx)
     q = _vec_of(qv_in, dx)
@@ -188,8 +202,8 @@ def _pscan_compute(
     # overwrite position T with the terminal element (A=0, b=0, C=0, η=−q_T,
     # J=Q_T — the raw Q/q planes already hold the terminal cost at index T) and
     # positions > T with the composition identity (A=I, rest 0)
-    one = jnp.ones((1, t_pad), q_in.dtype)
-    zero = jnp.zeros((1, t_pad), q_in.dtype)
+    one = jnp.ones((SUBS, c_lanes), q_in.dtype)
+    zero = jnp.zeros((SUBS, c_lanes), q_in.dtype)
     after = t_iota > T
     for i in range(dx):
         for j in range(dx):
@@ -208,10 +222,10 @@ def _pscan_compute(
         el = _combine_planes(el, _shift_element(el, d, dx, mask, roll), dx)
         d *= 2
 
-    S = el[4]                      # J planes: value Hessian (T+1 valid entries)
-    s = [-e for e in el[3]]        # −η planes: value linear term
+    S = el[4]                      # J tiles: value Hessian (T+1 valid entries)
+    s = [-e for e in el[3]]        # −η tiles: value linear term
 
-    # ---- gains (pscan_lqr._gains in plane form, S' = S shifted by 1; the
+    # ---- gains (pscan_lqr._gains in tile form, S' = S shifted by 1; the
     # wrapped value at the last pad position is unused by t < T and finite) ----
     Sn = [[roll(S[i][j], 1) for j in range(dx)] for i in range(dx)]
     sn = [roll(s[i], 1) for i in range(dx)]
@@ -233,6 +247,7 @@ def _pscan_compute(
     dv0 = sum(kff[i] * qu[i] for i in range(du))
     Quu_kff = _lmv(Quu, kff)
     dv1 = 0.5 * sum(kff[i] * Quu_kff[i] for i in range(du))
+
     def cat_mat(Mrows):
         return jnp.concatenate([p for row in Mrows for p in row], axis=0)
 
@@ -251,12 +266,12 @@ def _pscan_compute(
 def _pscan_kernel(
     q_ref, qv_ref, r_ref, rv_ref, m_ref, a_ref, b_ref,
     k_ref, kff_ref, s_ref, sv_ref, dv_ref,
-    *, dx: int, du: int, T: int, t_pad: int, n_levels: int,
+    *, dx: int, du: int, T: int, c_lanes: int, n_levels: int,
 ):
     Kp, kffp, Sp, sp, dvp = _pscan_compute(
         q_ref[...], qv_ref[...], r_ref[...], rv_ref[...], m_ref[...],
         a_ref[...], b_ref[...],
-        dx=dx, du=du, T=T, t_pad=t_pad, n_levels=n_levels, roll=_roll_mosaic,
+        dx=dx, du=du, T=T, c_lanes=c_lanes, n_levels=n_levels, mosaic=True,
     )
     k_ref[...] = Kp
     kff_ref[...] = kffp
@@ -265,17 +280,19 @@ def _pscan_kernel(
     dv_ref[...] = dvp
 
 
-def _to_time_planes(x: Array, t_pad: int, pad_value: Array) -> Array:
-    """(Tn, n, m) → (n*m, t_pad) planes, padded along time with ``pad_value``."""
+def _to_time_tiles(x: Array, c_lanes: int, pad_value: Array) -> Array:
+    """(Tn, n, m) → (n*m*8, C) time tiles (t at (t//C, t mod C)), padded along
+    time with ``pad_value``."""
     Tn = x.shape[0]
     e = 1
     for dim in x.shape[1:]:
         e *= dim
+    t_pad = SUBS * c_lanes
     planes = jnp.moveaxis(x.reshape(Tn, e), 0, 1)
     pad = jnp.broadcast_to(
         jnp.asarray(pad_value, x.dtype).reshape(-1)[:, None], (e, t_pad - Tn)
     )
-    return jnp.concatenate([planes, pad], axis=1)
+    return jnp.concatenate([planes, pad], axis=1).reshape(e * SUBS, c_lanes)
 
 
 def pallas_pilqr_backward(
@@ -289,7 +306,7 @@ def pallas_pilqr_backward(
     launch — the batch-1 latency path.  Same contract as
     :func:`core.pscan_lqr.pilqr_backward`.
 
-    ``interpret=True`` (CPU tests) runs the IDENTICAL plane computation
+    ``interpret=True`` (CPU tests) runs the IDENTICAL tile computation
     (:func:`_pscan_compute`) as a plain jitted function instead of through the
     Pallas interpreter, which is pathologically slow on a body this unrolled —
     the Mosaic path adds only the VMEM plumbing around the same jnp ops."""
@@ -310,7 +327,9 @@ def _pallas_pilqr_backward(cost, A, B, *, use_pallas):
     dx, du = A.shape[-1], B.shape[-1]
     dtype = A.dtype
     t_tot = T + 1
-    t_pad = max(LANES, -(-t_tot // LANES) * LANES)
+    per_sub = -(-t_tot // SUBS)                       # ceil(t_tot / 8)
+    c_lanes = max(LANES, -(-per_sub // LANES) * LANES)
+    t_pad = SUBS * c_lanes
     n_levels = max(1, (t_tot - 1).bit_length())
 
     eye_u = jnp.eye(du, dtype=dtype)
@@ -318,23 +337,23 @@ def _pallas_pilqr_backward(cost, A, B, *, use_pallas):
     zx = jnp.zeros((dx, dx), dtype)
 
     ins = [
-        _to_time_planes(cost.Cxx[: T + 1], t_pad, zx),
-        _to_time_planes(cost.cx[: T + 1, :, None], t_pad, jnp.zeros((dx, 1), dtype)),
+        _to_time_tiles(cost.Cxx[: T + 1], c_lanes, zx),
+        _to_time_tiles(cost.cx[: T + 1, :, None], c_lanes, jnp.zeros((dx, 1), dtype)),
         # R/r/M/A/B are only meaningful for t < T; pad (incl. position T) with
         # values that keep the element construction finite (R = I)
-        _to_time_planes(jnp.concatenate([cost.Cuu[:T], eye_u[None]], 0), t_pad, eye_u),
-        _to_time_planes(cost.cu[:T, :, None], t_pad, jnp.zeros((du, 1), dtype)),
-        _to_time_planes(cost.Cxu[:T], t_pad, jnp.zeros((dx, du), dtype)),
-        _to_time_planes(A, t_pad, eye_x),
-        _to_time_planes(B, t_pad, jnp.zeros((dx, du), dtype)),
+        _to_time_tiles(jnp.concatenate([cost.Cuu[:T], eye_u[None]], 0), c_lanes, eye_u),
+        _to_time_tiles(cost.cu[:T, :, None], c_lanes, jnp.zeros((du, 1), dtype)),
+        _to_time_tiles(cost.Cxu[:T], c_lanes, jnp.zeros((dx, du), dtype)),
+        _to_time_tiles(A, c_lanes, eye_x),
+        _to_time_tiles(B, c_lanes, jnp.zeros((dx, du), dtype)),
     ]
 
     if use_pallas:
         kernel = partial(
-            _pscan_kernel, dx=dx, du=du, T=T, t_pad=t_pad, n_levels=n_levels
+            _pscan_kernel, dx=dx, du=du, T=T, c_lanes=c_lanes, n_levels=n_levels
         )
         spec = lambda e: pl.BlockSpec(
-            (e, t_pad), lambda: (0, 0), memory_space=pltpu.VMEM
+            (e * SUBS, c_lanes), lambda: (0, 0), memory_space=pltpu.VMEM
         )
 
         K_p, kff_p, S_p, s_p, dv_p = pl.pallas_call(
@@ -343,24 +362,27 @@ def _pallas_pilqr_backward(cost, A, B, *, use_pallas):
                       spec(dx * du), spec(dx * dx), spec(dx * du)],
             out_specs=[spec(du * dx), spec(du), spec(dx * dx), spec(dx), spec(2)],
             out_shape=[
-                jax.ShapeDtypeStruct((du * dx, t_pad), dtype),
-                jax.ShapeDtypeStruct((du, t_pad), dtype),
-                jax.ShapeDtypeStruct((dx * dx, t_pad), dtype),
-                jax.ShapeDtypeStruct((dx, t_pad), dtype),
-                jax.ShapeDtypeStruct((2, t_pad), dtype),
+                jax.ShapeDtypeStruct((du * dx * SUBS, c_lanes), dtype),
+                jax.ShapeDtypeStruct((du * SUBS, c_lanes), dtype),
+                jax.ShapeDtypeStruct((dx * dx * SUBS, c_lanes), dtype),
+                jax.ShapeDtypeStruct((dx * SUBS, c_lanes), dtype),
+                jax.ShapeDtypeStruct((2 * SUBS, c_lanes), dtype),
             ],
         )(*ins)
     else:
         K_p, kff_p, S_p, s_p, dv_p = _pscan_compute(
-            *ins, dx=dx, du=du, T=T, t_pad=t_pad, n_levels=n_levels,
-            roll=_roll_jnp,
+            *ins, dx=dx, du=du, T=T, c_lanes=c_lanes, n_levels=n_levels,
+            mosaic=False,
         )
 
-    K = jnp.moveaxis(K_p[:, :T], 1, 0).reshape(T, du, dx)
-    kff = jnp.moveaxis(kff_p[:, :T], 1, 0)
-    S = jnp.moveaxis(S_p[:, : T + 1], 1, 0).reshape(T + 1, dx, dx)
-    s = jnp.moveaxis(s_p[:, : T + 1], 1, 0)
-    dV = jnp.sum(dv_p, axis=1)
+    def untile(P_p, e):
+        return P_p.reshape(e, t_pad)   # row-major (entry, s, l) → t = s·C + l
+
+    K = jnp.moveaxis(untile(K_p, du * dx)[:, :T], 1, 0).reshape(T, du, dx)
+    kff = jnp.moveaxis(untile(kff_p, du)[:, :T], 1, 0)
+    S = jnp.moveaxis(untile(S_p, dx * dx)[:, : T + 1], 1, 0).reshape(T + 1, dx, dx)
+    s = jnp.moveaxis(untile(s_p, dx)[:, : T + 1], 1, 0)
+    dV = jnp.sum(untile(dv_p, 2), axis=1)
     value = QuadraticValue(V=S, v=s, v0=jnp.zeros(T + 1, dtype))
     return LinearPolicy(K=K, kff=kff), value, dV
 

@@ -40,7 +40,7 @@ from jax import Array
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_lqr import LANES, _from_lanes, _to_lanes, lane_pad
+from .pallas_lqr import LANES, _from_lanes, _to_lanes, lane_pad, sub_block
 
 _INF = float("inf")
 
@@ -276,10 +276,7 @@ def _specs(dx, du, time_chunk, sub):
 
 def _grid_shape(packed):
     T, _, nsub, _ = packed["K"].shape
-    sub = min(8, nsub)
-    while nsub % sub:
-        sub -= 1
-    return T, nsub, sub
+    return T, nsub, sub_block(nsub)
 
 
 def pallas_rollout_returns(

@@ -110,8 +110,23 @@ class TrajEnv:
 
     @property
     def supports_tiles(self) -> bool:
-        """True when the env opts into the tile-level protocol."""
-        return type(self)._ode_parts is not TrajEnv._ode_parts
+        """True when the env opts into the tile-level protocol.
+
+        Defining ``_ode_parts`` is the opt-in, but the tile kernels also
+        consume ``features_parts``/``_periodic_parts`` (identity by default) —
+        an env that overrides ``features``/``_periodic_state`` without the
+        matching parts form would silently cost trajectories on the wrong
+        features, so such envs are NOT tile-eligible."""
+        cls = type(self)
+        if cls._ode_parts is TrajEnv._ode_parts:
+            return False
+        if (cls.features is not TrajEnv.features
+                and cls.features_parts is TrajEnv.features_parts):
+            return False
+        if (cls._periodic_state is not TrajEnv._periodic_state
+                and cls._periodic_parts is TrajEnv._periodic_parts):
+            return False
+        return True
 
     # -- core protocol -----------------------------------------------------------
     def dynamics(self, x: Array, u: Array) -> Array:

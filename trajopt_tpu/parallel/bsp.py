@@ -222,7 +222,7 @@ def make_bsp_solver_batched(
     tolgrad: float = 1e-6,
     min_imp: float = 0.0,
     reg: int = 1,
-    engine: str = "pallas",
+    engine: str = "scan",
     interpret: bool = False,
     mesh=None,
     axis_name: str = "dp",
@@ -288,18 +288,36 @@ def make_bsp_solver_batched(
 
         return jax.vmap(one)(alphas)
 
-    def backward_with_lm_batched(cost_b, dyn_b, lmbda0, dlmbda0):
+    def backward_with_lm_batched(cost_b, dyn_b, lmbda0, dlmbda0, done):
         """Per-instance λ escalation around the batched backward: the loop runs
         while ANY instance is active; masked updates keep finished instances
-        on their accepted (out, λ) exactly as their single-problem while."""
+        on their accepted (out, λ) exactly as their single-problem while.
+        ``done`` (frozen) instances never count as active — their results are
+        discarded by the caller's freeze anyway, so re-escalating them would
+        only add whole-batch backward launches."""
+
+        def escalate(active_div, lmbda, dlmbda):
+            dlmbda_n = jnp.where(
+                active_div, jnp.maximum(dlmbda * mult_lmbda, mult_lmbda),
+                dlmbda,
+            )
+            lmbda_n = jnp.where(
+                active_div, jnp.maximum(lmbda * dlmbda_n, min_lmbda), lmbda
+            )
+            return lmbda_n, dlmbda_n
+
+        # first trial at λ0 (the single-problem loop's first trip)
+        out = bw(cost_b, dyn_b, lmbda0)
+        diverged = out[5] & ~done
+        lmbda, dlmbda = escalate(diverged, lmbda0, dlmbda0)
 
         def cond(carry):
-            _, lmbda, _, diverged, first = carry
-            return jnp.any((first | diverged) & (lmbda <= max_lmbda))
+            _, lmbda, _, diverged = carry
+            return jnp.any(diverged & (lmbda <= max_lmbda))
 
         def body(carry):
-            out, lmbda, dlmbda, diverged, first = carry
-            active = (first | diverged) & (lmbda <= max_lmbda)
+            out, lmbda, dlmbda, diverged = carry
+            active = diverged & (lmbda <= max_lmbda)
             new = bw(cost_b, dyn_b, lmbda)
 
             def take(old, fresh):
@@ -308,20 +326,12 @@ def make_bsp_solver_batched(
 
             out_n = jax.tree.map(take, out, new)
             div_n = jnp.where(active, new[5], diverged)
-            dlmbda_n = jnp.where(
-                active & new[5],
-                jnp.maximum(dlmbda * mult_lmbda, mult_lmbda), dlmbda,
-            )
-            lmbda_n = jnp.where(
-                active & new[5],
-                jnp.maximum(lmbda * dlmbda_n, min_lmbda), lmbda,
-            )
-            return out_n, lmbda_n, dlmbda_n, div_n, jnp.zeros_like(first)
+            lmbda_n, dlmbda_n = escalate(active & new[5], lmbda, dlmbda)
+            return out_n, lmbda_n, dlmbda_n, div_n
 
-        dummy = bw(cost_b, dyn_b, lmbda0)
-        N = lmbda0.shape[0]
-        init = (dummy, lmbda0, dlmbda0, jnp.zeros(N, bool), jnp.ones(N, bool))
-        out, lmbda, dlmbda, diverged, _ = lax.while_loop(cond, body, init)
+        out, lmbda, dlmbda, diverged = lax.while_loop(
+            cond, body, (out, lmbda, dlmbda, diverged)
+        )
         return out, lmbda, dlmbda, diverged
 
     def post(state, lc, dS, lmbda, dlmbda, diverged):
@@ -379,7 +389,7 @@ def make_bsp_solver_batched(
         )
         (lc, _, _, _, dS, _), lmbda_b, dlmbda_b, div_b = (
             backward_with_lm_batched(
-                cost_b, dyn_b, state_b.lmbda, state_b.dlmbda
+                cost_b, dyn_b, state_b.lmbda, state_b.dlmbda, state_b.done
             )
         )
         state_b = jax.vmap(post)(state_b, lc, dS, lmbda_b, dlmbda_b, div_b)

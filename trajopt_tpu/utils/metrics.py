@@ -17,6 +17,7 @@ class MetricsRecorder:
         self.name = name
         self.records: list[dict[str, Any]] = []
         self._t0 = time.perf_counter()
+        self._header_keys: tuple[str, ...] | None = None
 
     def log(self, iteration: int, **values) -> dict[str, Any]:
         rec = {
@@ -35,18 +36,23 @@ class MetricsRecorder:
         return "\n".join(json.dumps(r) for r in self.records)
 
     def format_last(self) -> str:
-        """Render the newest record as a fixed-width row (with a header line when
-        it is the first record) — what solver ``run(verbose=True)`` prints."""
+        """Render the newest record as a fixed-width row, prefixed by a header
+        line whenever this record's columns differ from the last-printed header
+        (solvers log an init record before the first verbose print, and
+        accepted/rejected iterations can carry different key sets, so a
+        ``first record`` check would never print a header and columns could
+        silently shift) — what solver ``run(verbose=True)`` prints."""
         if not self.records:
             return ""
         rec = self.records[-1]
-        keys = [k for k in rec if k != "wall_time"]
+        keys = tuple(k for k in rec if k != "wall_time")
         row = " ".join(
             f"{rec[k]:>12.4g}" if isinstance(rec[k], (int, float))
             else f"{str(rec[k]):>12s}"
             for k in keys
         )
-        if len(self.records) == 1:
+        if keys != self._header_keys:
+            self._header_keys = keys
             header = " ".join(f"{k:>12s}" for k in keys)
             return header + "\n" + row
         return row
