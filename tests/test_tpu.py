@@ -76,6 +76,119 @@ def test_ilqr_pallas_pscan_engine_matches_pscan():
 
 
 @requires_tpu
+@pytest.mark.parametrize("T", [60, 333, 1000])
+def test_pallas_pscan_kernel_matches_sequential_on_device(T):
+    """The Mosaic time-tiled parallel-in-time backward (core/pallas_pscan.py)
+    against the sequential scan kernel, element-wise — catches (8, C) layout /
+    sublane-roll bugs that solver-level return comparisons could mask."""
+    from trajopt_tpu.core.pallas_pscan import pallas_pilqr_backward
+    from trajopt_tpu.core.pscan_lqr import pilqr_backward
+    from trajopt_tpu.core.types import QuadraticCost
+
+    dx, du = 4, 2
+    rng = np.random.default_rng(0)
+
+    def spd(d, n, s):
+        M = rng.standard_normal((n, d, d))
+        return jnp.asarray(
+            s * np.einsum("nij,nkj->nik", M, M) + d * np.eye(d), jnp.float32
+        )
+
+    cost = QuadraticCost(
+        Cxx=spd(dx, T + 1, 0.1),
+        cx=jnp.asarray(rng.standard_normal((T + 1, dx)), jnp.float32),
+        Cuu=spd(du, T, 1.0),
+        cu=jnp.asarray(rng.standard_normal((T, du)), jnp.float32),
+        Cxu=jnp.asarray(0.01 * rng.standard_normal((T, dx, du)), jnp.float32),
+        c0=jnp.zeros(T + 1, jnp.float32),
+    )
+    A = jnp.asarray(
+        np.eye(dx) + 0.01 * rng.standard_normal((T, dx, dx)), jnp.float32
+    )
+    B = jnp.asarray(0.1 * rng.standard_normal((T, dx, du)), jnp.float32)
+
+    ctl_p, val_p, dV_p = jax.block_until_ready(pallas_pilqr_backward(cost, A, B))
+    ctl_s, val_s, dV_s = jax.block_until_ready(jax.jit(pilqr_backward)(cost, A, B))
+    np.testing.assert_allclose(ctl_p.K, ctl_s.K, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(ctl_p.kff, ctl_s.kff, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(val_p.V, val_s.V, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(dV_p, dV_s, rtol=2e-3, atol=2e-3)
+
+
+@requires_tpu
+def test_batched_elqr_pallas_engine_matches_scan_on_device():
+    """Mosaic eLQR sweeps (core/pallas_elqr.py) vs the vmapped scan solver."""
+    from trajopt_tpu.parallel.elqr import make_elqr_solver_batched
+
+    env = trajopt_tpu.make("Cartpole-TO-v0")
+    N, T, nb_iter = 64, 32, 4
+    keys = jax.random.split(jax.random.PRNGKey(0), N)
+    x0s = jnp.zeros((N, env.dm_state), jnp.float32).at[:, 1].add(
+        0.2 + 0.01 * jnp.arange(N, dtype=jnp.float32)
+    )
+
+    _, _, _, tr_s = jax.jit(
+        make_elqr_solver_batched(env, T, nb_iter, engine="scan")
+    )(keys, x0s)
+    _, _, _, tr_p = jax.jit(
+        make_elqr_solver_batched(env, T, nb_iter, engine="pallas")
+    )(keys, x0s)
+    np.testing.assert_allclose(np.asarray(tr_p), np.asarray(tr_s),
+                               rtol=5e-3, atol=1e-5)
+
+
+@requires_tpu
+def test_pallas_belief_backward_on_device():
+    """Mosaic packed belief backward vs the vmapped scan kernel."""
+    from trajopt_tpu.core.belief import (
+        BeliefCostExpansion,
+        BeliefDynamicsExpansion,
+        bsp_backward,
+    )
+    from trajopt_tpu.core.pallas_belief import pallas_bsp_backward
+
+    rng = np.random.default_rng(11)
+    N, T, b, a = 256, 25, 2, 2
+    b2 = b * b
+
+    def spd(d, shape, s):
+        M = rng.standard_normal(shape + (d, d))
+        return jnp.asarray(
+            s * np.einsum("...ij,...kj->...ik", M, M) + d * np.eye(d),
+            jnp.float32,
+        )
+
+    r32 = lambda *sh: jnp.asarray(rng.standard_normal(sh), jnp.float32)
+    cost = BeliefCostExpansion(
+        Q=spd(b, (N, T + 1), 0.1), q=r32(N, T + 1, b),
+        R=spd(a, (N, T + 1), 1.0), r=r32(N, T + 1, a),
+        P=0.01 * r32(N, T + 1, b, a), p=r32(N, T + 1, b2),
+    )
+    dyn = BeliefDynamicsExpansion(
+        F=jnp.asarray(np.eye(b), jnp.float32) + 0.05 * r32(N, T, b, b),
+        G=0.2 * r32(N, T, b, a),
+        X=0.05 * r32(N, T, b2, b),
+        Y=jnp.asarray(0.9 * np.eye(b2), jnp.float32) + 0.02 * r32(N, T, b2, b2),
+        Z=0.05 * r32(N, T, b2, a),
+        T=0.05 * r32(N, T, b2, b),
+        U=jnp.asarray(0.8 * np.eye(b2), jnp.float32) + 0.02 * r32(N, T, b2, b2),
+        V=0.05 * r32(N, T, b2, a),
+    )
+    lam = jnp.full((N,), 0.5, jnp.float32)
+    ref = jax.block_until_ready(
+        jax.jit(jax.vmap(lambda c, d, l: bsp_backward(c, d, l, 1)))(
+            cost, dyn, lam
+        )
+    )
+    out = jax.block_until_ready(
+        jax.jit(partial(pallas_bsp_backward, reg=1))(cost, dyn, lam)
+    )
+    np.testing.assert_allclose(out[0].K, ref[0].K, rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(out[1], ref[1], rtol=2e-3, atol=2e-3)
+    np.testing.assert_array_equal(np.asarray(out[5]), np.asarray(ref[5]))
+
+
+@requires_tpu
 def test_batched_ilqr_pallas_rollout_matches_scan():
     """rollout='pallas' (fused line-search kernels, core/pallas_rollout.py) must
     reproduce the scan line search through the full solver, with both backward
