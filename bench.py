@@ -125,7 +125,12 @@ def _chain(fn, args, perturb, reps, const_args=()):
 
 
 def bench_ilqr_iters(on_tpu):
-    """Headline: full iLQR iterations/sec at horizon 1000 (batched cartpole)."""
+    """Headline: full iLQR iterations/sec at horizon 1000 (batched cartpole).
+
+    Engine fallback chain (pallas/pallas → pallas/scan → scan/scan): the
+    headline must always emit a number, so a Mosaic regression in one engine
+    degrades the measurement instead of killing the whole bench line.  Returns
+    (instance-iters/s, sec per batch-iter, engine tag)."""
     import jax
     import jax.numpy as jnp
 
@@ -134,25 +139,38 @@ def bench_ilqr_iters(on_tpu):
 
     env = trajopt_tpu.make("Cartpole-TO-v0")
     T, N, nb_iter, reps = 1000, 2048, 10, 2
-    solve = make_ilqr_solver_batched(
-        env, T, nb_iter=nb_iter,
-        backward="pallas" if on_tpu else "scan", time_chunk=8,
-        rollout="pallas" if on_tpu else "scan",
-    )
 
     x0 = jnp.zeros((N, env.dm_state), jnp.float32)
     x0 = x0.at[:, 0].add(0.01 * jnp.arange(N, dtype=jnp.float32))
-
-    def fn(x0s):
-        state, _ = solve(x0s)
-        return state
 
     def perturb(args, state):
         (x0s,) = args
         return (x0s + 1e-30 * jnp.sum(state.uref[:, 0], axis=-1, keepdims=True),)
 
-    sec = _chain(fn, (x0,), perturb, reps)
-    return N * nb_iter / sec, sec / nb_iter  # instance-iters/s, sec per batch-iter
+    engines = (
+        [("pallas", "pallas"), ("pallas", "scan"), ("scan", "scan")]
+        if on_tpu else [("scan", "scan")]
+    )
+    last_err = None
+    for backward, rollout in engines:
+        try:
+            solve = make_ilqr_solver_batched(
+                env, T, nb_iter=nb_iter,
+                backward=backward, time_chunk=8, rollout=rollout,
+            )
+
+            def fn(x0s):
+                state, _ = solve(x0s)
+                return state
+
+            sec = _chain(fn, (x0,), perturb, reps)
+            return (N * nb_iter / sec, sec / nb_iter,
+                    f"backward={backward},rollout={rollout}")
+        except Exception as e:  # pragma: no cover - defensive fallback
+            last_err = e
+            print(f"headline engine {backward}/{rollout} failed: {e!r}",
+                  file=sys.stderr)
+    raise last_err
 
 
 def bench_backward_packed(T, dx, du, batch, reps=20):
@@ -808,7 +826,7 @@ def main():
             print(f"bench {name} failed: {e!r}", file=sys.stderr)
 
     # headline: full iLQR iterations/sec at horizon 1000
-    iters_per_s, sec_per_batch_iter = bench_ilqr_iters(on_tpu)
+    iters_per_s, sec_per_batch_iter, engine_tag = bench_ilqr_iters(on_tpu)
 
     if on_tpu:  # Mosaic kernel paths: TPU only (tests cover interpreter mode)
         try_bench("ilqr_backward_packed_tps@16384", lambda: bench_backward_packed(T, dx, du, 16384))
@@ -892,7 +910,7 @@ def main():
         "metric": "ilqr_iters_per_sec_T1000",
         "value": round(iters_per_s, 1),
         "unit": (
-            f"instance-iterations/s ({dev.platform}, cartpole dx=4, T=1000, batch 2048, "
+            f"instance-iterations/s ({dev.platform}, cartpole dx=4, T=1000, batch 2048, {engine_tag}, "
             f"full linearize+backward+linesearch iteration = {sec_per_batch_iter * 1e3:.1f} ms/batch-iter; "
             f"chained on-device timing; vs_baseline is conservative: CPU denominator is the "
             f"C++ backward pass alone, {cpu_iters_upper_bound:.1f} it/s upper bound)"
