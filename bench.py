@@ -809,11 +809,28 @@ def _cpu_denominators(T_gps):
 
 
 def main():
+    import os
+
     import jax
 
     from trajopt_tpu.utils.native import bench_backward_native
 
-    dev = jax.devices()[0]
+    try:
+        dev = jax.devices()[0]
+    except RuntimeError as e:
+        # The remote-TPU backend can be transiently unavailable (a wedged
+        # session claim blocks init and then raises UNAVAILABLE).  The bench
+        # must always emit its JSON line, so re-exec on the CPU backend
+        # instead of dying; the platform is recorded in the unit string.
+        if os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu"):
+            print(
+                f"device backend unavailable ({e!r}); re-running bench on CPU",
+                file=sys.stderr,
+            )
+            sys.stderr.flush()
+            env = dict(os.environ, JAX_PLATFORMS="cpu")
+            os.execve(sys.executable, [sys.executable] + sys.argv, env)
+        raise
     on_tpu = dev.platform != "cpu"
     T, dx, du = 1000, 4, 2
 
