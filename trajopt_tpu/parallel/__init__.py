@@ -1,1 +1,11 @@
-from . import bsp, elqr, gps, mesh, mpc, regression, rgps, riccati  # noqa: F401
+from . import (  # noqa: F401
+    bsp,
+    diffmpc,
+    elqr,
+    gps,
+    mesh,
+    mpc,
+    regression,
+    rgps,
+    riccati,
+)

@@ -260,6 +260,8 @@ def make_ilqr_solver_batched(
     fast_line_search: bool = False,
     metrics: bool = False,
     rollout: str = "scan",
+    differentiable: bool = False,
+    lm_steps: int = 16,
 ):
     """Batch-native iLQR: ``solve(x0s (N, dx), kff_init (N, T, du)|None)``.
 
@@ -278,10 +280,36 @@ def make_ilqr_solver_batched(
     per-instance updates — iterate while any live instance still needs escalation,
     freeze the rest — which is exactly what vmapping a ``while_loop`` lowers to, minus
     the per-instance backward dispatch.
+
+    ``differentiable=True`` makes the ENTIRE solve reverse-differentiable
+    (``jax.grad`` through the converged trajectory — inverse optimal control /
+    differentiable MPC; see :mod:`trajopt_tpu.parallel.diffmpc`), something the
+    reference's Python-around-Armadillo loop (ilqr/ilqr.py:136-237) cannot offer.
+    Three deviations from the default path, none changing results when the λ
+    loop terminates within ``lm_steps`` trips:
+
+    * the λ-escalation ``while_loop`` (no reverse rule in XLA) becomes a
+      fixed-length masked ``lax.scan`` of ``lm_steps`` trips — instances whose
+      escalation would need more trips stay marked diverged for that iteration
+      (the outer accept/reject then escalates λ across iterations, as in the
+      reference's bail-out path);
+    * each outer iteration is wrapped in ``jax.checkpoint`` so reverse-mode
+      memory is O(state), not O(nb_iter · rollouts);
+    * the expected-improvement ratio guards its division (``expected == 0`` →
+      reject) instead of relying on IEEE ``x/0`` — otherwise the division's
+      VJP feeds ``0/0 = nan`` into the return cotangents.
+
+    Requires ``backward='scan'`` and ``rollout='scan'`` (the Pallas kernels
+    define no VJP).
     """
     weighting = make_weighting(nb_steps, activation)
     alphas = jnp.asarray(alphas)
     T = nb_steps
+    if differentiable and (backward != "scan" or rollout != "scan"):
+        raise ValueError(
+            "differentiable=True requires backward='scan' and rollout='scan' "
+            "(the Pallas kernels define no VJP)"
+        )
 
     def expand(xref, uref):
         A, B = linearize_dynamics_delta(env.dynamics, xref[:T], uref)
@@ -397,7 +425,16 @@ def make_ilqr_solver_batched(
             K0, kff0, dV0, div0 = bwd(cost, A, B, lmbda0)
             first0 = jnp.ones(N, bool)
             init = ((K0, kff0, dV0), lmbda0, dlmbda0, jnp.zeros(N, bool), first0)
-            (out, lmbda, dlmbda, diverged, _) = lax.while_loop(cond, body, init)
+            if differentiable:
+                # fixed trip count: while_loop has no reverse rule.  Extra trips
+                # after every instance settles are masked no-ops, so results are
+                # identical to the while_loop whenever it terminates within
+                # lm_steps trips.
+                (out, lmbda, dlmbda, diverged, _), _ = lax.scan(
+                    lambda c, _: (body(c), None), init, None, length=lm_steps
+                )
+            else:
+                (out, lmbda, dlmbda, diverged, _) = lax.while_loop(cond, body, init)
             return out, lmbda, dlmbda, diverged, None
     else:
         raise ValueError(f"unknown backward impl {backward!r}")
@@ -489,7 +526,13 @@ def make_ilqr_solver_batched(
         ret1 = jnp.sum(c1, axis=1)
         dret1 = state.last_return - ret1
         exp1 = -1.0 * alphas[0] * (dV[:, 0] + alphas[0] * dV[:, 1])
-        ok1 = (dret1 / exp1 >= min_imp) & backpass_done & jnp.isfinite(ret1)
+        if differentiable:  # see the safe division note in ``iteration``
+            imp1 = jnp.where(
+                exp1 == 0.0, -jnp.inf, dret1 / jnp.where(exp1 == 0.0, 1.0, exp1)
+            )
+        else:
+            imp1 = dret1 / exp1
+        ok1 = (imp1 >= min_imp) & backpass_done & jnp.isfinite(ret1)
 
         def fast(_):
             bc = lambda x: jnp.broadcast_to(x[:, None], (N, nA) + x.shape[1:])
@@ -536,7 +579,14 @@ def make_ilqr_solver_batched(
             returns = jnp.sum(costs_all, axis=2)                      # (N, nA)
         dreturns = state.last_return[:, None] - returns
         expected = -1.0 * alphas[None] * (dV[:, :1] + alphas[None] * dV[:, 1:])
-        imp = dreturns / expected
+        if differentiable:
+            # expected == 0 → reject, without the IEEE x/0 the default path
+            # relies on: the division's VJP would turn the (zero) cotangent of
+            # ``imp`` into 0/0 = nan flowing back into the returns.
+            safe = jnp.where(expected == 0.0, 1.0, expected)
+            imp = jnp.where(expected == 0.0, -jnp.inf, dreturns / safe)
+        else:
+            imp = dreturns / expected
         ok = (imp >= min_imp) & backpass_done[:, None] & jnp.isfinite(returns)
         accepted = jnp.any(ok, axis=1)
         idx = jnp.argmax(ok, axis=1)                                  # first acceptable α
@@ -621,7 +671,11 @@ def make_ilqr_solver_batched(
             last_return=ret_i,
             done=jnp.zeros((N,), bool),
         )
-        state, trace = lax.scan(iteration, state, None, length=nb_iter)
+        # checkpoint per iteration in differentiable mode: reverse-mode memory
+        # stays O(state) instead of storing every α-grid rollout of every
+        # iteration for the backward sweep.
+        it = jax.checkpoint(iteration) if differentiable else iteration
+        state, trace = lax.scan(it, state, None, length=nb_iter)
         return state, trace
 
     return solve
