@@ -115,3 +115,53 @@ def test_differentiable_requires_scan_engines():
         assert "differentiable" in str(e)
     else:  # pragma: no cover
         raise AssertionError("expected ValueError for pallas + differentiable")
+
+
+def test_grad_through_compiled_elqr_matches_fd():
+    """The compiled eLQR (parallel/elqr.py) is built from scans/linearizations
+    only — reverse-differentiable out of the box; pin it against FD."""
+    from trajopt_tpu.parallel.elqr import make_elqr_solver
+
+    env = trajopt_tpu.make("Pendulum-TO-v0", dt=0.05)
+    solve = make_elqr_solver(env, 15, nb_iter=4)
+
+    def loss(x0):
+        _, _, uref, _ = solve(jax.random.PRNGKey(0), x0)
+        return jnp.sum(uref**2)
+
+    loss_j = jax.jit(loss)
+    x0 = jnp.asarray(np.asarray(env.x0)) + 0.03
+    g = np.asarray(jax.jit(jax.grad(loss))(x0))
+
+    eps = 1e-6
+    fd = np.zeros_like(g)
+    for i in range(x0.size):
+        e = jnp.zeros_like(x0).at[i].set(eps)
+        fd[i] = (float(loss_j(x0 + e)) - float(loss_j(x0 - e))) / (2 * eps)
+    np.testing.assert_allclose(g, fd, rtol=1e-6)
+
+
+def test_grad_through_batched_riccati_matches_fd():
+    """Exact-LQR solve (parallel/riccati.py): d(total cost)/d(x0) through the
+    whole backward-pass + rollout program vs FD."""
+    from trajopt_tpu.parallel.riccati import make_riccati_solver_batched
+
+    env = trajopt_tpu.make("LQR-TO-v0")
+    solve = make_riccati_solver_batched(env, 30)
+
+    def loss(x0s):
+        _, _, _, costs, _ = solve(x0s)
+        return jnp.sum(costs)
+
+    loss_j = jax.jit(loss)
+    rng = np.random.default_rng(3)
+    x0s = jnp.asarray(rng.standard_normal((2, env.dm_state)))
+    g = np.asarray(jax.jit(jax.grad(loss))(x0s))
+
+    eps = 1e-6
+    fd = np.zeros_like(g)
+    for i in range(x0s.shape[0]):
+        for j in range(x0s.shape[1]):
+            e = jnp.zeros_like(x0s).at[i, j].set(eps)
+            fd[i, j] = (float(loss_j(x0s + e)) - float(loss_j(x0s - e))) / (2 * eps)
+    np.testing.assert_allclose(g, fd, rtol=1e-6)

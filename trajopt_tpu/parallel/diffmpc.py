@@ -24,6 +24,19 @@ The gradient is the exact derivative of the executed algorithm (fixed
 ``nb_iter`` outer iterations, ``lm_steps``-bounded λ escalation, first-accept
 α selection); as the iterates converge it approaches the implicit derivative
 of the iLQR fixed point.
+
+Differentiability across the compiled-solver family (all FD-pinned in
+tests/test_diffmpc.py where claimed):
+
+* **iLQR** — via ``differentiable=True`` (this module's wrapper);
+* **eLQR** (:func:`..elqr.make_elqr_solver`) and **exact Riccati LQR**
+  (:func:`..riccati.make_riccati_solver_batched`) — reverse-differentiable
+  out of the box: their compiled programs are scans/linearizations only;
+* **GPS** — NOT exactly: the compiled dual solves the KL constraint by
+  log-space *bisection*, which is piecewise-constant in its inputs, so
+  algorithmic differentiation drops the dλ*/dθ sensitivity (gradients are
+  finite but treat the converged dual as locally constant; an exact path
+  would implicit-diff the KL(λ)=ε condition).
 """
 
 from __future__ import annotations
