@@ -32,11 +32,12 @@ tests/test_diffmpc.py where claimed):
 * **eLQR** (:func:`..elqr.make_elqr_solver`) and **exact Riccati LQR**
   (:func:`..riccati.make_riccati_solver_batched`) — reverse-differentiable
   out of the box: their compiled programs are scans/linearizations only;
-* **GPS** — NOT exactly: the compiled dual solves the KL constraint by
-  log-space *bisection*, which is piecewise-constant in its inputs, so
-  algorithmic differentiation drops the dλ*/dθ sensitivity (gradients are
-  finite but treat the converged dual as locally constant; an exact path
-  would implicit-diff the KL(λ)=ε condition).
+* **GPS** — via ``make_mbgps_solver(differentiable=True)``: the compiled dual
+  solves the KL constraint by log-space *bisection*, which is
+  piecewise-constant in its inputs, so plain algorithmic differentiation
+  drops the dα*/dθ sensitivity; the differentiable mode restores it exactly
+  with a ``custom_vjp`` implicit-function-theorem pass on KL(α*)=ε (scalar
+  dual; primal bit-identical).
 """
 
 from __future__ import annotations

@@ -75,11 +75,25 @@ def make_mbgps_solver(
     slew_rate: bool = False,
     action_penalty=None,
     bisect_iters: int = 64,
+    differentiable: bool = False,
 ):
     """Build ``solve(key, mu0, sigma0) -> (state, trace)`` — compiled MBGPS.
 
     ``trace`` is the (nb_iter+1,) return sequence (held on rejected iterations,
     mirroring the reference's accept-only trace, mbgps.py:271-321).
+
+    ``differentiable=True`` makes ``jax.grad`` through the solve EXACT w.r.t.
+    environment parameters and the initial distribution: the dual bisection is
+    piecewise-constant in its inputs (interval halving on comparisons), so plain
+    algorithmic differentiation silently drops the dα*/dθ sensitivity of the
+    KL-constrained policy update.  The fix is the implicit function theorem on
+    the stationarity condition KL(α*; θ) = ε — a ``jax.custom_vjp`` around the
+    bisection whose backward pass solves ᾱ·dα*/dθ = −ᾱ·(∂KL/∂θ)/(∂KL/∂α)
+    with one extra augment→backward→forward VJP chain.  When the constraint is
+    not actually active at the returned root (bracket clamped at its bounds,
+    diverged backward) the sensitivity is zeroed — the dual really is locally
+    constant there.  Scalar dual only (``kl_stepwise=True`` would need a dense
+    (T, T) implicit solve); the primal solve is bit-identical either way.
     """
     overrides = {"slew_rate": slew_rate}
     if action_penalty is not None:
@@ -160,6 +174,45 @@ def make_mbgps_solver(
         )
         return 0.5 * (lo + hi)
 
+    if differentiable:
+        if kl_stepwise:
+            raise ValueError(
+                "differentiable=True supports the scalar dual only "
+                "(kl_stepwise=True would need a dense (T, T) implicit solve)"
+            )
+
+        def _kl_residual(la, cost, dyn, ctl, mu0, sigma0, bound):
+            kl, _, _ = kl_at(la, cost, dyn, ctl, mu0, sigma0)
+            return kl - bound
+
+        @jax.custom_vjp
+        def dual_root(cost, dyn, ctl, mu0, sigma0, bound):
+            return bisect_dual(cost, dyn, ctl, mu0, sigma0, bound)
+
+        def _root_fwd(cost, dyn, ctl, mu0, sigma0, bound):
+            la = bisect_dual(cost, dyn, ctl, mu0, sigma0, bound)
+            return la, (la, cost, dyn, ctl, mu0, sigma0, bound)
+
+        def _root_bwd(res, la_bar):
+            la, cost, dyn, ctl, mu0, sigma0, bound = res
+            g0, dg_dla = jax.value_and_grad(_kl_residual)(
+                la, cost, dyn, ctl, mu0, sigma0, bound
+            )
+            # implicit sensitivity only where the KL constraint is genuinely
+            # active and transversal at the root; elsewhere (clamped bracket,
+            # diverged chain) α* is locally constant
+            active = (jnp.abs(g0) < 0.25 * bound) & (jnp.abs(dg_dla) > 1e-30)
+            w = jnp.where(active, -la_bar / jnp.where(active, dg_dla, 1.0), 0.0)
+            _, vjp = jax.vjp(
+                lambda c, d, p, m, s, b: _kl_residual(la, c, d, p, m, s, b),
+                cost, dyn, ctl, mu0, sigma0, bound,
+            )
+            return vjp(w)
+
+        dual_root.defvjp(_root_fwd, _root_bwd)
+    else:
+        dual_root = bisect_dual
+
     def iteration(state: GPSState, _):
         mu0 = state.xdist.mu[0]
         sigma0 = state.xdist.sigma[0]
@@ -167,7 +220,7 @@ def make_mbgps_solver(
             kl_base, mu0.dtype
         )
 
-        log_alpha = bisect_dual(state.cost, state.dyn, state.ctl, mu0, sigma0, bound)
+        log_alpha = dual_root(state.cost, state.dyn, state.ctl, mu0, sigma0, bound)
         kl, diverged, (lgc, xdist_lin, udist_lin) = kl_at(
             log_alpha, state.cost, state.dyn, state.ctl, mu0, sigma0
         )
