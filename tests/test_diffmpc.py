@@ -205,3 +205,44 @@ def test_gps_implicit_dual_grad_matches_fd():
     # is real) — guards against the test silently weakening
     g_plain = np.asarray(jax.jit(jax.grad(make_loss(False)))(p0))
     assert not np.allclose(g_plain, fd, rtol=1e-3)
+
+
+def test_bsp_differentiable_matches_default_and_fd():
+    """make_bsp_solver(differentiable=True): exact rewrite of the compiled
+    belief-space solver + FD-pinned gradients w.r.t. the initial belief mean
+    and the belief-cost weights (planning sensitivities through the EKF)."""
+    from trajopt_tpu.parallel.bsp import make_bsp_solver
+
+    env = trajopt_tpu.make("LightDark-TO-v0")
+    mu0, sigma0 = env.init()
+    mu0 = jnp.asarray(np.asarray(mu0), jnp.float64)
+    sigma0 = jnp.asarray(np.asarray(sigma0), jnp.float64)
+
+    ref = jax.jit(make_bsp_solver(env, 12, nb_iter=5))
+    dif = jax.jit(make_bsp_solver(env, 12, nb_iter=5, differentiable=True,
+                                  lm_steps=24))
+    s_ref, tr_ref = ref(mu0, sigma0)
+    s_dif, tr_dif = dif(mu0, sigma0)
+    np.testing.assert_allclose(np.asarray(tr_dif), np.asarray(tr_ref), rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(s_dif.uref), np.asarray(s_ref.uref), atol=1e-12
+    )
+
+    def loss(m0, w):
+        e = env.replace(mu_w=w)
+        solve = make_bsp_solver(e, 12, nb_iter=4, differentiable=True)
+        state, _ = solve(m0, sigma0)
+        return state.last_return
+
+    loss_j = jax.jit(loss)
+    w0 = jnp.asarray([0.5, 0.5], jnp.float64)
+    g_mu, g_w = jax.jit(jax.grad(loss, argnums=(0, 1)))(mu0, w0)
+
+    eps = 1e-6
+    for k in range(2):
+        e = jnp.zeros_like(mu0).at[k].set(eps)
+        fd = (float(loss_j(mu0 + e, w0)) - float(loss_j(mu0 - e, w0))) / (2 * eps)
+        np.testing.assert_allclose(float(g_mu[k]), fd, rtol=1e-4, atol=1e-8)
+        ew = jnp.zeros_like(w0).at[k].set(eps)
+        fdw = (float(loss_j(mu0, w0 + ew)) - float(loss_j(mu0, w0 - ew))) / (2 * eps)
+        np.testing.assert_allclose(float(g_w[k]), fdw, rtol=1e-4, atol=1e-8)

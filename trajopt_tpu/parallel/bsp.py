@@ -57,10 +57,21 @@ def make_bsp_solver(
     min_imp: float = 0.0,
     reg: int = 1,
     value_form: str = "dense",
+    differentiable: bool = False,
+    lm_steps: int = 16,
 ):
     """Build ``solve(mu0, sigma0, kff_init) -> (state, trace)`` — the BSP-iLQR
     outer loop (bspilqr/bspilqr.py:126-224) as pure ``lax`` control flow, with the
     same λ/α/termination semantics as the host class.
+
+    ``differentiable=True`` makes the whole belief-space solve reverse-
+    differentiable (gradients of planned behavior w.r.t. the initial belief
+    and environment parameters — e.g. the light-dark noise geometry), the same
+    rewrite as ``make_ilqr_solver_batched(differentiable=True)``: the λ
+    while_loop becomes a ``lm_steps``-bounded scan whose trips are gated on the
+    ORIGINAL loop condition (results identical whenever the while_loop
+    terminates within ``lm_steps``), the expected-improvement division is
+    guarded against 0/0 in its VJP, and each outer iteration is checkpointed.
 
     ``value_form`` selects the (S, s, τ) backward recursion: ``"dense"`` mirrors
     bspilqr/src/util.cpp:146-189; ``"sqrt"`` carries the value Hessian as its
@@ -126,7 +137,21 @@ def make_bsp_solver(
 
         dummy = backward_fn(cost, dyn, lmbda0, reg)
         init = (dummy, lmbda0, dlmbda0, jnp.asarray(False), jnp.asarray(True))
-        out, lmbda, dlmbda, diverged, _ = lax.while_loop(cond, body, init)
+        if differentiable:
+            # while_loop has no reverse rule: bounded scan, each trip gated on
+            # the original condition so extra trips are exact no-ops
+            def scan_body(carry, _):
+                keep = cond(carry)
+                new = body(carry)
+                return jax.tree.map(
+                    lambda a, b: jnp.where(keep, a, b), new, carry
+                ), None
+
+            (out, lmbda, dlmbda, diverged, _), _ = lax.scan(
+                scan_body, init, None, length=lm_steps
+            )
+        else:
+            out, lmbda, dlmbda, diverged, _ = lax.while_loop(cond, body, init)
         return out, lmbda, dlmbda, diverged
 
     def iteration(state: BSPState, _):
@@ -149,7 +174,13 @@ def make_bsp_solver(
             returns = jnp.sum(costs_all, axis=1)
             dreturns = state.last_return - returns
             expected = -1.0 * alphas * (dS[0] + alphas * dS[1])
-            imp = dreturns / expected
+            if differentiable:
+                # expected == 0 → reject, keeping the division's VJP clear of
+                # 0/0 (see parallel/mpc.py differentiable notes)
+                safe = jnp.where(expected == 0.0, 1.0, expected)
+                imp = jnp.where(expected == 0.0, -jnp.inf, dreturns / safe)
+            else:
+                imp = dreturns / expected
             ok = (imp > min_imp) & backpass_done & jnp.isfinite(returns)
             accepted = jnp.any(ok)
             idx = jnp.argmax(ok)
@@ -203,7 +234,8 @@ def make_bsp_solver(
             last_return=jnp.sum(costs_all[idx]),
             done=jnp.asarray(False),
         )
-        state, trace = lax.scan(iteration, state, None, length=nb_iter)
+        it = jax.checkpoint(iteration) if differentiable else iteration
+        state, trace = lax.scan(it, state, None, length=nb_iter)
         return state, trace
 
     return solve

@@ -29,6 +29,10 @@ Differentiability across the compiled-solver family (all FD-pinned in
 tests/test_diffmpc.py where claimed):
 
 * **iLQR** — via ``differentiable=True`` (this module's wrapper);
+* **belief-space iLQR** — via ``make_bsp_solver(differentiable=True)``
+  (:mod:`..bsp`): the same bounded-λ-scan rewrite, giving planning
+  sensitivities through the EKF belief dynamics (e.g. w.r.t. the light-dark
+  observation-noise geometry);
 * **eLQR** (:func:`..elqr.make_elqr_solver`) and **exact Riccati LQR**
   (:func:`..riccati.make_riccati_solver_batched`) — reverse-differentiable
   out of the box: their compiled programs are scans/linearizations only;
