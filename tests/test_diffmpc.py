@@ -207,6 +207,54 @@ def test_gps_implicit_dual_grad_matches_fd():
     assert not np.allclose(g_plain, fd, rtol=1e-3)
 
 
+def test_rgps_differentiable_matches_default_and_fd():
+    """make_rgps_solver(differentiable=True): the adversary fixed-point
+    while_loop becomes a condition-gated fixed-length scan (exact rewrite — the
+    gated scan reproduces the while_loop's final state whether or not the fixed
+    point converges within fp_iters), and the policy α-bisection gets the same
+    implicit-function-theorem custom_vjp as GPS.  Primal equality is exact;
+    d(robust expected cost)/d(mu0) through the full min-max solve is pinned
+    against central differences."""
+    from trajopt_tpu.parallel.rgps import make_rgps_solver
+
+    env = trajopt_tpu.make("LQR-TO-v1")
+    mu0, sigma0 = env.init()
+    mu0 = jnp.asarray(np.asarray(mu0), jnp.float64)
+    sigma0 = jnp.asarray(np.asarray(sigma0), jnp.float64)
+    kw = dict(
+        nb_steps=10, variant="lr", nb_iter=2, init_action_sigma=10.0,
+        policy_kl_bound=0.25, param_nominal_kl_bound=50.0,
+        beta_iters=6, fp_iters=12, alpha_bisect_iters=32,
+    )
+
+    ref = jax.jit(make_rgps_solver(env, **kw))
+    dif = jax.jit(make_rgps_solver(env, differentiable=True, **kw))
+    s_ref, tr_ref = ref(mu0, sigma0)
+    s_dif, tr_dif = dif(mu0, sigma0)
+    np.testing.assert_allclose(np.asarray(tr_dif), np.asarray(tr_ref), rtol=1e-12)
+    np.testing.assert_allclose(float(s_dif.beta), float(s_ref.beta), rtol=0)
+    np.testing.assert_allclose(
+        np.asarray(s_dif.ctl.K), np.asarray(s_ref.ctl.K), atol=1e-12
+    )
+
+    solve = make_rgps_solver(env, differentiable=True, **kw)
+
+    def loss(m0):
+        _, trace = solve(m0, sigma0)
+        return trace[-1]
+
+    loss_j = jax.jit(loss)
+    g = np.asarray(jax.jit(jax.grad(loss))(mu0))
+    assert np.all(np.isfinite(g)) and np.any(np.abs(g) > 0.0)
+
+    eps = 1e-6
+    fd = np.zeros_like(g)
+    for i in range(mu0.size):
+        e = jnp.zeros_like(mu0).at[i].set(eps)
+        fd[i] = (float(loss_j(mu0 + e)) - float(loss_j(mu0 - e))) / (2 * eps)
+    np.testing.assert_allclose(g, fd, rtol=1e-4, atol=1e-8)
+
+
 def test_bsp_differentiable_matches_default_and_fd():
     """make_bsp_solver(differentiable=True): exact rewrite of the compiled
     belief-space solver + FD-pinned gradients w.r.t. the initial belief mean

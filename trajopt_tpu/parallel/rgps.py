@@ -92,6 +92,7 @@ def make_rgps_solver(
     fp_iters: int = 100,
     nb_episodes: int = 25,
     prior: dict | None = None,
+    differentiable: bool = False,
 ):
     """Build ``solve(mu0, sigma0) -> (state, trace)`` — compiled robust GPS.
 
@@ -103,6 +104,19 @@ def make_rgps_solver(
     over θ) and the process noise from sampled rollouts each accepted iteration
     (rgps/mfrgps.py:87, 542-572) — for it, ``solve(mu0, sigma0, key)`` takes the
     rollout PRNG key, consumed only on accepted iterations (the host's sequence).
+
+    ``differentiable=True`` makes ``jax.grad`` through the robust solve match
+    the true sensitivity (see parallel/diffmpc.py): the adversary fixed-point
+    ``while_loop`` becomes an ``fp_iters``-bounded scan gated on the original
+    loop condition (exact rewrite; its unrolled derivative converges to the
+    implicit fixed-point derivative), and the fine policy α-bisection — whose
+    machine-resolution staircase makes plain AD drop dα*/dθ exactly as in
+    ``make_mbgps_solver`` — gets the ``custom_vjp`` implicit-function-theorem
+    pass on KL(α*) = ε.  The coarse geometric β/η duals terminate inside a 10%
+    acceptance band, so their piecewise-constant AD behavior IS the executed
+    algorithm's true local derivative and they need no correction.  For
+    reverse-mode memory, prefer small ``fp_iters``/``beta_iters`` (each
+    adversary probe unrolls the fixed point).
     """
     if variant not in ("lr", "mb", "mf"):
         raise ValueError(f"unknown variant {variant!r}")
@@ -156,7 +170,21 @@ def make_rgps_solver(
             jnp.asarray(False),
             jnp.asarray(0),
         )
-        q, param, value, kl, diverged, _ = lax.while_loop(cond, body, init)
+        if differentiable:
+            # while_loop has no reverse rule: bounded scan, trips gated on the
+            # original condition so post-convergence trips are exact no-ops
+            def scan_body(state, _):
+                keep = cond(state)
+                new = body(state)
+                return jax.tree.map(
+                    lambda a, b: jnp.where(keep, a, b), new, state
+                ), None
+
+            (q, param, value, kl, diverged, _), _ = lax.scan(
+                scan_body, init, None, length=fp_iters
+            )
+        else:
+            q, param, value, kl, diverged, _ = lax.while_loop(cond, body, init)
         return q, param, diverged
 
     def nominal_kl(param, nominal):
@@ -302,7 +330,7 @@ def make_rgps_solver(
         kl = jnp.sum(policy_kl(lgc, ctl, xdist))
         return kl, diverged, lgc
 
-    def policy(ctl, cost, param, mu0, sigma0, noise):
+    def _alpha_bisect(cost, ctl, param, mu0, sigma0, noise):
         bound = policy_kl_bound
 
         def body(carry, _):
@@ -317,7 +345,45 @@ def make_rgps_solver(
             body, (jnp.asarray(LOG_LO, dt), jnp.asarray(LOG_HI, dt)),
             None, length=alpha_bisect_iters,
         )
-        log_alpha = 0.5 * (lo + hi)
+        return 0.5 * (lo + hi)
+
+    if differentiable:
+        # the bisection resolves α* to machine precision, so its staircase AD
+        # derivative is zero — restore dα*/dθ with the IFT on KL(α*) = ε,
+        # exactly as in make_mbgps_solver(differentiable=True)
+        def _alpha_residual(la, cost, ctl, param, mu0, sigma0, noise):
+            kl, _, _ = policy_kl_at(la, cost, ctl, param, mu0, sigma0, noise)
+            return kl - policy_kl_bound
+
+        @jax.custom_vjp
+        def alpha_root(cost, ctl, param, mu0, sigma0, noise):
+            return _alpha_bisect(cost, ctl, param, mu0, sigma0, noise)
+
+        def _root_fwd(cost, ctl, param, mu0, sigma0, noise):
+            la = _alpha_bisect(cost, ctl, param, mu0, sigma0, noise)
+            return la, (la, cost, ctl, param, mu0, sigma0, noise)
+
+        def _root_bwd(res, la_bar):
+            la, cost, ctl, param, mu0, sigma0, noise = res
+            g0, dg_dla = jax.value_and_grad(_alpha_residual)(
+                la, cost, ctl, param, mu0, sigma0, noise
+            )
+            active = (jnp.abs(g0) < 0.25 * policy_kl_bound) & (
+                jnp.abs(dg_dla) > 1e-30
+            )
+            w = jnp.where(active, -la_bar / jnp.where(active, dg_dla, 1.0), 0.0)
+            _, vjp = jax.vjp(
+                lambda c, p_, pa, m, s, n: _alpha_residual(la, c, p_, pa, m, s, n),
+                cost, ctl, param, mu0, sigma0, noise,
+            )
+            return vjp(w)
+
+        alpha_root.defvjp(_root_fwd, _root_bwd)
+    else:
+        alpha_root = _alpha_bisect
+
+    def policy(ctl, cost, param, mu0, sigma0, noise):
+        log_alpha = alpha_root(cost, ctl, param, mu0, sigma0, noise)
         kl, diverged, lgc = policy_kl_at(log_alpha, cost, ctl, param, mu0, sigma0, noise)
         return lgc, kl, diverged, 10.0 ** log_alpha
 
@@ -451,7 +517,8 @@ def make_rgps_solver(
             beta=jnp.asarray(1e16, mu0.dtype),
             alpha=jnp.asarray(1e8, mu0.dtype),
         )
-        state, trace = lax.scan(iteration, state, None, length=nb_iter)
+        it = jax.checkpoint(iteration) if differentiable else iteration
+        state, trace = lax.scan(it, state, None, length=nb_iter)
         return state, jnp.concatenate([ret0[None], trace])
 
     return solve
