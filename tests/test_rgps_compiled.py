@@ -115,6 +115,34 @@ def test_rgps_batch_sharded_matches_unsharded():
                                rtol=1e-6, atol=1e-8)
 
 
+def test_compiled_stepwise_policy_dual_matches_host():
+    """policy_kl_stepwise=True: the compiled damped multiplicative log-α fixed
+    point must land on the host L-BFGS-B vector dual's stationarity system
+    KL_t(α) = bound ∀t (mbrgps.py:678-702) — same pattern as the compiled
+    stepwise GPS dual (test_gps_compiled.py)."""
+    env = trajopt_tpu.make("LQR-TO-v1")
+    mu0, sigma0 = env.init()
+
+    solve = jax.jit(make_rgps_solver(
+        env, variant="lr", nb_iter=4, policy_kl_stepwise=True, **KW
+    ))
+    state, trace = solve(jnp.asarray(mu0), jnp.asarray(sigma0))
+    assert state.alpha.shape == (KW["nb_steps"],)
+
+    host = LRGPS(
+        env, init_state=env.init(), policy_kl_stepwise=True,
+        param_regularizer_kl_bound=10.0, **KW,
+    )
+    host_trace = host.run(nb_iter=4)
+
+    tr = np.asarray(trace)
+    assert np.all(np.isfinite(tr))
+    # both optimizers satisfy the same per-t constraint system; the β-bisection
+    # agrees exactly, the policy dual only through its stationarity system
+    np.testing.assert_allclose(tr, np.asarray(host_trace), rtol=1e-3)
+    np.testing.assert_allclose(float(state.beta), host.beta, rtol=1e-6)
+
+
 def test_compiled_regularized_adversary_matches_host():
     """iterative_adversary=True: the compiled masked-scan regularized adversary
     (reguarlized_parameter_optimization, mbrgps.py:633-676) must land on the

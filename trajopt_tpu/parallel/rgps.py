@@ -13,7 +13,12 @@ min-max alternation compiles:
   backward pass ∘ cubature forward pass with KL-geodesic damping) as the same
   ``lax.while_loop`` the host uses.
 * **policy** — the L-BFGS-B dual reduces to root-finding Σ_t KL(π‖π_old) =
-  policy_kl_bound, a log-α bisection as in parallel/gps.py.
+  policy_kl_bound, a log-α bisection as in parallel/gps.py.  Under
+  ``policy_kl_stepwise=True`` the T per-timestep constraints KL_t = bound
+  (the host's vector L-BFGS-B dual, mbrgps.py:678-702) are solved by the same
+  damped multiplicative log-α fixed point as ``parallel/gps.py``'s stepwise
+  dual — ``log α_t += γ·log₁₀(KL_t/bound)`` — whose unique fixed point is the
+  dual stationarity system.
 * the outer alternation (adversary → policy → KL acceptance → refresh) is one
   ``lax.scan``: a full robust-GPS solve per XLA program, vmappable over seeds /
   initial states — the robust analogue of the compiled GPS farms.
@@ -21,8 +26,7 @@ min-max alternation compiles:
 ``iterative_adversary=True`` compiles the regularized adversary
 (``reguarlized_parameter_optimization``, mbrgps.py:633-676) as masked
 fixed-length scans: small-KL η-bisected steps anchored at the last accepted
-iterate until the total KL-to-nominal budget is spent.  Only
-``policy_kl_stepwise=False`` is compiled; use the host classes for stepwise.
+iterate until the total KL-to-nominal budget is spent.
 """
 
 from __future__ import annotations
@@ -77,6 +81,7 @@ def make_rgps_solver(
     nb_iter: int = 10,
     init_action_sigma: float = 1.0,
     policy_kl_bound: float = 0.1,
+    policy_kl_stepwise: bool = False,
     param_nominal_kl_bound: float = 100.0,
     nominal_variance: float = 1e-8,
     activation: dict | None = None,
@@ -120,6 +125,11 @@ def make_rgps_solver(
     """
     if variant not in ("lr", "mb", "mf"):
         raise ValueError(f"unknown variant {variant!r}")
+    if differentiable and policy_kl_stepwise:
+        raise ValueError(
+            "differentiable=True supports the scalar policy dual only "
+            "(policy_kl_stepwise=True would need a dense (T, T) implicit solve)"
+        )
 
     overrides = {"slew_rate": slew_rate}
     if action_penalty is not None:
@@ -321,17 +331,43 @@ def make_rgps_solver(
 
     # ---------------------------------------------------------------- policy side
     def policy_kl_at(log_alpha, cost, ctl, param, mu0, sigma0, noise):
-        alpha = jnp.full(T, 10.0 ** log_alpha, mu0.dtype)
+        """``log_alpha`` is () for the summed dual, (T,) for the stepwise one;
+        the returned KL matches (summed scalar vs per-timestep vector)."""
+        alpha = jnp.broadcast_to(10.0 ** log_alpha, (T,)).astype(mu0.dtype)
         agcost = augment_cost_kl(cost, ctl, alpha)
         lgc, xvalue, xuvalue, diverged = policy_backward_pass(
             agcost, param, noise, alpha
         )
         xdist, _, _ = cubature(lgc, param, mu0, sigma0, noise)
-        kl = jnp.sum(policy_kl(lgc, ctl, xdist))
+        klt = policy_kl(lgc, ctl, xdist)
+        kl = klt if policy_kl_stepwise else jnp.sum(klt)
         return kl, diverged, lgc
 
     def _alpha_bisect(cost, ctl, param, mu0, sigma0, noise):
         bound = policy_kl_bound
+
+        if policy_kl_stepwise:
+            # the T constraints KL_t(α) = bound are coupled through the value
+            # recursion; a damped multiplicative update in log space converges
+            # to the L-BFGS-B vector dual's stationarity system (see
+            # parallel/gps.bisect_dual, same rationale)
+            gamma = 0.5
+
+            def body_sw(la, _):
+                kl, diverged, _ = policy_kl_at(
+                    la, cost, ctl, param, mu0, sigma0, noise
+                )
+                step = gamma * jnp.log10(jnp.maximum(kl, 1e-14) / bound)
+                la = jnp.clip(
+                    jnp.where(diverged, la + 1.0, la + step), LOG_LO, LOG_HI
+                )
+                return la, None
+
+            la, _ = lax.scan(
+                body_sw, jnp.zeros((T,), mu0.dtype), None,
+                length=alpha_bisect_iters,
+            )
+            return la
 
         def body(carry, _):
             lo, hi = carry
@@ -436,8 +472,9 @@ def make_rgps_solver(
         lgc, kl, diverged, alpha = policy(
             state.ctl, state.cost, param, mu0, sigma0, state.noise
         )
-        # acceptance (mbrgps.py:818 via solvers/rgps._policy_kl_ok): kl < 1.25·bound
-        accept = (kl < 1.25 * policy_kl_bound) & ~diverged
+        # acceptance (mbrgps.py:818 via solvers/rgps._policy_kl_ok):
+        # kl < 1.25·bound — per timestep under the stepwise dual
+        accept = jnp.all(kl < 1.25 * policy_kl_bound) & ~diverged
 
         noise_n, key_n = state.noise, state.key
         if variant == "mb":
@@ -515,7 +552,7 @@ def make_rgps_solver(
             noise=noise0, key=key0,
             last_return=ret0,
             beta=jnp.asarray(1e16, mu0.dtype),
-            alpha=jnp.asarray(1e8, mu0.dtype),
+            alpha=jnp.full((T,) if policy_kl_stepwise else (), 1e8, mu0.dtype),
         )
         it = jax.checkpoint(iteration) if differentiable else iteration
         state, trace = lax.scan(it, state, None, length=nb_iter)
