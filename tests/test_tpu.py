@@ -12,6 +12,8 @@ suite can only exercise through interpreter/jnp-equivalent forms:
 * per-instance iLQR solver ``backward='pallas-pscan'`` == ``'pscan'``
 """
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
