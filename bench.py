@@ -398,36 +398,26 @@ def bench_bsp(horizon=25, nb_steps=50, nb_iter=10, reps=3):
     return nb_steps / sec
 
 
-def bench_bsp_backward_batched(T=25, batch=4096, reps=50, engine="scan"):
-    """Batched belief-value backward recursion (vec-channel Riccati) — the
-    BASELINE protocol's backward-pass ts/s for the bspilqr config over a batch
-    of lightdark-dim problems (b=2, a=2).  ``engine='scan'`` vmaps the scan
-    kernel; ``engine='pallas'`` runs the lane-major packed kernel
-    (core/pallas_belief.py, TPU only)."""
-    import jax
-    import jax.numpy as jnp
-
+def _belief_problem(T, rng, b=2, a=2):
+    """One random lightdark-dim belief problem (cost expansion + dynamics
+    expansion, numpy float64) — shared by the device bench and the native CPU
+    denominator so both time the exact same problem class."""
     from trajopt_tpu.core.belief import (
         BeliefCostExpansion,
         BeliefDynamicsExpansion,
-        bsp_backward,
     )
-    from trajopt_tpu.core.pallas_belief import pallas_bsp_backward
-
-    rng = np.random.default_rng(5)
-    b, a = 2, 2
 
     def spd(d, n, s=1.0):
         M = rng.standard_normal((n, d, d))
         return s * np.einsum("nij,nkj->nik", M, M) + d * np.eye(d)
 
-    one_cost = BeliefCostExpansion(
+    cost = BeliefCostExpansion(
         Q=spd(b, T + 1), q=rng.standard_normal((T + 1, b)),
         R=spd(a, T + 1, 0.5), r=rng.standard_normal((T + 1, a)),
         P=0.1 * rng.standard_normal((T + 1, b, a)),
         p=rng.standard_normal((T + 1, b * b)),
     )
-    one_dyn = BeliefDynamicsExpansion(
+    dyn = BeliefDynamicsExpansion(
         F=np.broadcast_to(np.eye(b), (T, b, b))
           + 0.05 * rng.standard_normal((T, b, b)),
         G=0.1 * rng.standard_normal((T, b, a)),
@@ -438,6 +428,22 @@ def bench_bsp_backward_batched(T=25, batch=4096, reps=50, engine="scan"):
         U=0.01 * rng.standard_normal((T, b * b, b * b)),
         V=0.01 * rng.standard_normal((T, b * b, a)),
     )
+    return cost, dyn
+
+
+def bench_bsp_backward_batched(T=25, batch=4096, reps=50, engine="scan"):
+    """Batched belief-value backward recursion (vec-channel Riccati) — the
+    BASELINE protocol's backward-pass ts/s for the bspilqr config over a batch
+    of lightdark-dim problems (b=2, a=2).  ``engine='scan'`` vmaps the scan
+    kernel; ``engine='pallas'`` runs the lane-major packed kernel
+    (core/pallas_belief.py, TPU only)."""
+    import jax
+    import jax.numpy as jnp
+
+    from trajopt_tpu.core.belief import bsp_backward
+    from trajopt_tpu.core.pallas_belief import pallas_bsp_backward
+
+    one_cost, one_dyn = _belief_problem(T, np.random.default_rng(5))
     one = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), (one_cost, one_dyn))
 
     def build(one):
@@ -715,10 +721,6 @@ def _cpu_denominators(T_gps):
     rng = np.random.default_rng(1)
     den = {}
 
-    def spd(d, n, s=1.0):
-        M = rng.standard_normal((n, d, d))
-        return s * np.einsum("nij,nkj->nik", M, M) + d * np.eye(d)
-
     # riccati: T=100, homogeneous dims (dx+1=3, du=1)
     p = _problem(100, 3, 1, 0)
     reps = 200
@@ -735,26 +737,8 @@ def _cpu_denominators(T_gps):
     den["elqr_cpu_iters_per_s"] = reps / (2.0 * t)
 
     # bsp: 10 belief backward passes per MPC step at lightdark dims
-    from trajopt_tpu.core.belief import BeliefCostExpansion, BeliefDynamicsExpansion
-
-    T_b, b, a = 25, 2, 2
-    bcost = BeliefCostExpansion(
-        Q=spd(b, T_b + 1), q=rng.standard_normal((T_b + 1, b)),
-        R=spd(a, T_b + 1, 0.5), r=rng.standard_normal((T_b + 1, a)),
-        P=0.1 * rng.standard_normal((T_b + 1, b, a)),
-        p=rng.standard_normal((T_b + 1, b * b)),
-    )
-    bdyn = BeliefDynamicsExpansion(
-        F=np.broadcast_to(np.eye(b), (T_b, b, b))
-          + 0.05 * rng.standard_normal((T_b, b, b)),
-        G=0.1 * rng.standard_normal((T_b, b, a)),
-        X=0.01 * rng.standard_normal((T_b, b * b, b)),
-        Y=0.01 * rng.standard_normal((T_b, b * b, b * b)),
-        Z=0.01 * rng.standard_normal((T_b, b * b, a)),
-        T=0.01 * rng.standard_normal((T_b, b * b, b)),
-        U=0.01 * rng.standard_normal((T_b, b * b, b * b)),
-        V=0.01 * rng.standard_normal((T_b, b * b, a)),
-    )
+    T_b = 25
+    bcost, bdyn = _belief_problem(T_b, rng)
     reps_b = 2000
     t = min(bench_bsp_backward_native(bcost, bdyn, 0.1, 1, reps=reps_b)
             for _ in range(3))
@@ -822,7 +806,10 @@ def main():
         # session claim blocks init and then raises UNAVAILABLE).  The bench
         # must always emit its JSON line, so re-exec on the CPU backend
         # instead of dying; the platform is recorded in the unit string.
-        if os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu"):
+        # The container registers the accelerator plugin via sitecustomize
+        # with JAX_PLATFORMS typically UNSET, so the fallback must trigger on
+        # anything but an explicit "cpu" (the re-exec pins cpu: loop-safe).
+        if os.environ.get("JAX_PLATFORMS", "") != "cpu":
             print(
                 f"device backend unavailable ({e!r}); re-running bench on CPU",
                 file=sys.stderr,
@@ -862,19 +849,25 @@ def main():
     if on_tpu:
         try_bench("elqr_pallas_iters_per_s@1024", bench_elqr_pallas)
     try_bench("bsp_lightdark_mpc_steps_per_s", bench_bsp)
+    # CPU fallback runs measure a smaller batch with the scan engine — name
+    # the extras key accordingly so cross-platform JSON lines stay comparable
+    bsp_batch = 4096 if on_tpu else 256
+    bsp_key = f"bsp_backward_tps@{bsp_batch}" + ("" if on_tpu else "_scan")
     try_bench(
-        "bsp_backward_tps@4096",
+        bsp_key,
         lambda: bench_bsp_backward_batched(
-            batch=4096 if on_tpu else 256,
+            batch=bsp_batch,
             reps=50 if on_tpu else 3,
             engine="pallas" if on_tpu else "scan",
         ),
     )
+    gps_batch = 4096 if on_tpu else 512
+    gps_key = f"gps_dual_eval_tps@{gps_batch}"
     try_bench(
-        "gps_dual_eval_tps@4096",
+        gps_key,
         lambda: bench_gps_dual(
             T=1000 if on_tpu else 100,
-            batch=4096 if on_tpu else 512,
+            batch=gps_batch,
             on_tpu=on_tpu,
         ),
     )
@@ -895,8 +888,8 @@ def main():
              "elqr_vs_cpu"),
             ("bsp_lightdark_mpc_steps_per_s", "bsp_cpu_steps_per_s",
              "bsp_mpc_vs_cpu"),
-            ("bsp_backward_tps@4096", "bsp_cpu_tps", "bsp_vs_cpu"),
-            ("gps_dual_eval_tps@4096", "gps_cpu_tps", "gps_vs_cpu"),
+            (bsp_key, "bsp_cpu_tps", "bsp_vs_cpu"),
+            (gps_key, "gps_cpu_tps", "gps_vs_cpu"),
             ("rgps_fixed_point_tps@8", "rgps_cpu_tps", "rgps_vs_cpu"),
             ("rgps_fixed_point_tps@64", "rgps_cpu_tps", "rgps_vs_cpu@64"),
             ("elqr_pallas_iters_per_s@1024", "elqr_cpu_iters_per_s",

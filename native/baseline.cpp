@@ -1008,11 +1008,17 @@ double rgps_fixed_point_bench(
     double interp_a, int reps, double* mu_opt_out, double* pmu_out,
     double* psig_out, double* kl_out) {
     auto start = std::chrono::steady_clock::now();
-    for (int r = 0; r < reps; ++r)
-        rgps_fixed_point_cpu(Cxx, cx, Cuu, cu, Cxu, c0, K, kff, Sctl, Sdyn,
-                             agCpp, agcp, bpe, qmu, qsig, mu0, sigma0,
-                             T, dx, du, interp_a, mu_opt_out, pmu_out,
-                             psig_out, kl_out);
+    for (int r = 0; r < reps; ++r) {
+        // a definiteness failure returns early and would leave qmu/qsig
+        // half-updated: subsequent reps would bail near t=0 and the measured
+        // time would cover far fewer than `reps` full trips, silently
+        // inflating the derived CPU rate — report failure instead
+        int fail = rgps_fixed_point_cpu(
+            Cxx, cx, Cuu, cu, Cxu, c0, K, kff, Sctl, Sdyn,
+            agCpp, agcp, bpe, qmu, qsig, mu0, sigma0,
+            T, dx, du, interp_a, mu_opt_out, pmu_out, psig_out, kl_out);
+        if (fail) return -static_cast<double>(fail);
+    }
     auto end = std::chrono::steady_clock::now();
     return std::chrono::duration<double>(end - start).count();
 }

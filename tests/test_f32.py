@@ -136,40 +136,13 @@ def test_pallas_elqr_engine_f32(f32):
 
 def test_pallas_belief_backward_f32(f32):
     """Packed belief backward in f32 vs the vmapped scan kernel."""
-    from trajopt_tpu.core.belief import (
-        BeliefCostExpansion,
-        BeliefDynamicsExpansion,
-        bsp_backward,
-    )
+    from belief_fixtures import random_belief_problem
+
+    from trajopt_tpu.core.belief import bsp_backward
     from trajopt_tpu.core.pallas_belief import pallas_bsp_backward
 
-    rng = np.random.default_rng(7)
-    N, T, b, a = 4, 10, 2, 2
-    b2 = b * b
-
-    def spd(d, shape, s):
-        M = rng.standard_normal(shape + (d, d))
-        return jnp.asarray(
-            s * np.einsum("...ij,...kj->...ik", M, M) + d * np.eye(d),
-            jnp.float32,
-        )
-
-    r32 = lambda *sh: jnp.asarray(rng.standard_normal(sh), jnp.float32)
-    cost = BeliefCostExpansion(
-        Q=spd(b, (N, T + 1), 0.1), q=r32(N, T + 1, b),
-        R=spd(a, (N, T + 1), 1.0), r=r32(N, T + 1, a),
-        P=0.01 * r32(N, T + 1, b, a), p=r32(N, T + 1, b2),
-    )
-    dyn = BeliefDynamicsExpansion(
-        F=jnp.asarray(np.eye(b), jnp.float32) + 0.05 * r32(N, T, b, b),
-        G=0.2 * r32(N, T, b, a),
-        X=0.05 * r32(N, T, b2, b),
-        Y=jnp.asarray(0.9 * np.eye(b2), jnp.float32) + 0.02 * r32(N, T, b2, b2),
-        Z=0.05 * r32(N, T, b2, a),
-        T=0.05 * r32(N, T, b2, b),
-        U=jnp.asarray(0.8 * np.eye(b2), jnp.float32) + 0.02 * r32(N, T, b2, b2),
-        V=0.05 * r32(N, T, b2, a),
-    )
+    N, T = 4, 10
+    cost, dyn = random_belief_problem(7, N, T, dtype=jnp.float32)
     lam = jnp.full((N,), 0.5, jnp.float32)
     ref = jax.vmap(lambda c, d, l: bsp_backward(c, d, l, 1))(cost, dyn, lam)
     out = pallas_bsp_backward(cost, dyn, lam, 1, interpret=True)

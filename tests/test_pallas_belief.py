@@ -4,45 +4,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+from belief_fixtures import random_belief_problem as _random_problem
 
-from trajopt_tpu.core.belief import (
-    BeliefCostExpansion,
-    BeliefDynamicsExpansion,
-    bsp_backward,
-)
+from trajopt_tpu.core.belief import bsp_backward
 from trajopt_tpu.core.pallas_belief import pallas_bsp_backward
-
-
-def _random_problem(key, N, T, b, a, bad_instance=False):
-    rng = np.random.default_rng(key)
-    b2 = b * b
-
-    def spd(d, shape, s):
-        M = rng.standard_normal(shape + (d, d))
-        return s * np.einsum("...ij,...kj->...ik", M, M) + d * np.eye(d)
-
-    R = spd(a, (N, T + 1), 1.0)
-    if bad_instance:
-        R[0] = -R[0]  # forces a non-PD D_reg on instance 0
-    cost = BeliefCostExpansion(
-        Q=jnp.asarray(spd(b, (N, T + 1), 0.1)),
-        q=jnp.asarray(rng.standard_normal((N, T + 1, b))),
-        R=jnp.asarray(R),
-        r=jnp.asarray(rng.standard_normal((N, T + 1, a))),
-        P=jnp.asarray(0.01 * rng.standard_normal((N, T + 1, b, a))),
-        p=jnp.asarray(rng.standard_normal((N, T + 1, b2))),
-    )
-    dyn = BeliefDynamicsExpansion(
-        F=jnp.asarray(np.eye(b) + 0.05 * rng.standard_normal((N, T, b, b))),
-        G=jnp.asarray(0.2 * rng.standard_normal((N, T, b, a))),
-        X=jnp.asarray(0.05 * rng.standard_normal((N, T, b2, b))),
-        Y=jnp.asarray(np.eye(b2) * 0.9 + 0.02 * rng.standard_normal((N, T, b2, b2))),
-        Z=jnp.asarray(0.05 * rng.standard_normal((N, T, b2, a))),
-        T=jnp.asarray(0.05 * rng.standard_normal((N, T, b2, b))),
-        U=jnp.asarray(np.eye(b2) * 0.8 + 0.02 * rng.standard_normal((N, T, b2, b2))),
-        V=jnp.asarray(0.05 * rng.standard_normal((N, T, b2, a))),
-    )
-    return cost, dyn
 
 
 @pytest.mark.parametrize("reg,lmbda", [(1, 0.0), (1, 3.7), (2, 0.5)])

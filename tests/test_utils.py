@@ -327,6 +327,13 @@ def test_host_solver_metrics_match_trace():
     gtrace = gps.run(nb_iter=2)
     np.testing.assert_allclose(gps.metrics.history("ret"), gtrace, rtol=1e-12)
 
+    # history describes the LATEST run — a second run() must not accumulate
+    # records from the first (the recorder is reset/re-created on entry)
+    trace2 = solver.run(nb_iter=4)
+    np.testing.assert_allclose(solver.metrics.history("ret"), trace2, rtol=1e-12)
+    gtrace2 = gps.run(nb_iter=2)
+    np.testing.assert_allclose(gps.metrics.history("ret"), gtrace2, rtol=1e-12)
+
 
 def test_compiled_solver_structured_metrics():
     """metrics=True switches the compiled iLQR trace to a per-iteration pytree."""

@@ -192,7 +192,9 @@ def pallas_bsp_backward(
     b2 = b * b
     dtype = dyn.F.dtype
     if time_chunk is None:
-        time_chunk = 5 if Tn % 5 == 0 else 1
+        from .pallas_rollout import pick_time_chunk
+
+        time_chunk = pick_time_chunk(Tn, max_chunk=5)
     if Tn % time_chunk:
         raise ValueError(f"T={Tn} not divisible by time_chunk={time_chunk}")
     tc = Tn // time_chunk

@@ -310,6 +310,12 @@ def make_ilqr_solver_batched(
             "differentiable=True requires backward='scan' and rollout='scan' "
             "(the Pallas kernels define no VJP)"
         )
+    if fast_line_search and rollout == "pallas":
+        raise ValueError(
+            "fast_line_search=True is incompatible with rollout='pallas' "
+            "(the fused phase-A kernel already evaluates the whole α-grid in "
+            "one launch — the two-phase shortcut would be a no-op)"
+        )
 
     def expand(xref, uref):
         A, B = linearize_dynamics_delta(env.dynamics, xref[:T], uref)

@@ -136,8 +136,7 @@ class BSPiLQR:
 
     def run(self, nb_iter: int = 25, verbose: bool = False) -> list[float]:
         from ..utils.metrics import MetricsRecorder
-        if not hasattr(self, "metrics"):
-            self.metrics = MetricsRecorder("bspilqr")
+        self.metrics = MetricsRecorder("bspilqr")  # fresh history per run
         trace = []
 
         # init trajectory over the α-grid (bspilqr.py:129-137)

@@ -221,8 +221,7 @@ class eLQR:
 
     def run(self, nb_iter: int = 10, verbose: bool = False) -> list[float]:
         from ..utils.metrics import MetricsRecorder
-        if not hasattr(self, "metrics"):
-            self.metrics = MetricsRecorder("elqr")
+        self.metrics = MetricsRecorder("elqr")  # fresh history per run
         trace = []
 
         xs, us, cs = self._rollout(self.ctl)

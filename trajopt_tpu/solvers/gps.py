@@ -187,8 +187,7 @@ class MBGPS:
 
     def run(self, nb_iter: int = 10, verbose: bool = False) -> list[float]:
         from ..utils.metrics import MetricsRecorder
-        if not hasattr(self, "metrics"):
-            self.metrics = MetricsRecorder("mbgps")
+        self.metrics = MetricsRecorder("mbgps")  # fresh history per run
         trace = []
 
         xdist, udist, lgd, costs = self._propagate(self.ctl)
@@ -332,8 +331,7 @@ class MFGPS(MBGPS):
         self, nb_iter: int = 10, nb_episodes: int = 50, verbose: bool = False
     ) -> list[float]:
         from ..utils.metrics import MetricsRecorder
-        if not hasattr(self, "metrics"):
-            self.metrics = MetricsRecorder("mfgps")
+        self.metrics = MetricsRecorder("mfgps")  # fresh history per run
         trace = []
 
         # sample real rollouts, learn time-varying linear dynamics (mfgps.py:95-125)

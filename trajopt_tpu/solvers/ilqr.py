@@ -134,6 +134,7 @@ class iLQR:
         return plot_reference_trajectory(self.xref, self.uref, show=show)
 
     def run(self, nb_iter: int = 25, verbose: bool = False) -> list[float]:
+        self.metrics.reset()  # history describes the latest run
         trace = []
 
         # --- init trajectory: first finite candidate over the α-grid (ilqr.py:139-148)

@@ -457,6 +457,7 @@ class MBRGPS(_RGPSBase):
     def run(self, nb_iter: int = 10, verbose: bool = False,
             optimize_adversary: bool = True,
             iterative_adversary: bool = False) -> list[float]:
+        self.metrics.reset()  # history describes the latest run
         trace = []
 
         _, _, lgd, costs = self._propagate(self.ctl)
@@ -534,6 +535,7 @@ class LRGPS(_RGPSBase):
     def run(self, nb_iter: int = 10, verbose: bool = False,
             optimize_adversary: bool = True,
             iterative_adversary: bool = False) -> list[float]:
+        self.metrics.reset()  # history describes the latest run
         trace = []
 
         self.xdist, self.udist, self.xudist = self._cubature(self.ctl, self.nominal)
@@ -614,6 +616,7 @@ class MFRGPS(_RGPSBase):
     def run(self, nb_learning_episodes: int = 25, nb_iter: int = 10,
             nb_evaluation_episodes: int | None = None,
             verbose: bool = False) -> list[float]:
+        self.metrics.reset()  # history describes the latest run
         trace = []
 
         self.data = self.rollout(nb_learning_episodes)

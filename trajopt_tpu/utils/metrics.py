@@ -19,6 +19,14 @@ class MetricsRecorder:
         self._t0 = time.perf_counter()
         self._header_keys: tuple[str, ...] | None = None
 
+    def reset(self) -> None:
+        """Clear history (solver ``run()`` calls this on entry, so the recorded
+        history always describes the latest run — the invariant the
+        history-vs-trace tests pin)."""
+        self.records = []
+        self._t0 = time.perf_counter()
+        self._header_keys = None
+
     def log(self, iteration: int, **values) -> dict[str, Any]:
         rec = {
             "iter": iteration,

@@ -164,19 +164,29 @@ def rgps_fixed_point_native(Cxx, cx, Cuu, cu, Cxu, c0, K, kff, Sctl, Sdyn,
 def bench_rgps_fixed_point_native(Cxx, cx, Cuu, cu, Cxu, c0, K, kff, Sctl,
                                   Sdyn, agCpp, agcp, beta_plus_eta, qmu, qsig,
                                   mu0, sigma0, interp_a=0.1, reps=5):
-    """Time `reps` native RGPS fixed-point trips; returns seconds."""
+    """Time `reps` native RGPS fixed-point trips; returns seconds.
+
+    Raises if any trip hits a definiteness failure (the C side returns the
+    negated first-failing index): timing partial trips would silently inflate
+    the derived CPU rate."""
     lib = load()
     const, qmu, qsig, init, outs, T, dx, du = _rgps_args(
         Cxx, cx, Cuu, cu, Cxu, c0, K, kff, Sctl, Sdyn, agCpp, agcp,
         qmu, qsig, mu0, sigma0,
     )
     mu_opt, pmu, psig, kl = outs
-    return lib.rgps_fixed_point_bench(
+    sec = lib.rgps_fixed_point_bench(
         *[_ptr(a) for a in const], ctypes.c_double(beta_plus_eta),
         _ptr(qmu), _ptr(qsig), *[_ptr(a) for a in init],
         T, dx, du, ctypes.c_double(interp_a), reps,
         _ptr(mu_opt), _ptr(pmu), _ptr(psig), _ptr(kl),
     )
+    if sec < 0:
+        raise RuntimeError(
+            f"native RGPS fixed point diverged at t={int(-sec) - 1} "
+            "(definiteness failure); benchmark invalid"
+        )
+    return sec
 
 
 def _bsp_args(cost, dyn):
