@@ -255,6 +255,35 @@ def test_rgps_differentiable_matches_default_and_fd():
     np.testing.assert_allclose(g, fd, rtol=1e-4, atol=1e-8)
 
 
+def test_rgps_differentiable_iterative_adversary_smoke():
+    """differentiable=True composes with iterative_adversary=True: the
+    regularized small-KL adversary's η-bisections are already scans, and its
+    fixed-point solves go through the same gated-scan rewrite — primal must
+    equal the default solver exactly, and the gradient stay finite."""
+    from trajopt_tpu.parallel.rgps import make_rgps_solver
+
+    env = trajopt_tpu.make("LQR-TO-v1")
+    mu0, sigma0 = env.init()
+    mu0 = jnp.asarray(np.asarray(mu0), jnp.float64)
+    sigma0 = jnp.asarray(np.asarray(sigma0), jnp.float64)
+    kw = dict(
+        nb_steps=8, variant="lr", nb_iter=1, init_action_sigma=10.0,
+        policy_kl_bound=0.25, param_nominal_kl_bound=50.0,
+        iterative_adversary=True, param_regularizer_kl_bound=10.0,
+        eta_iters=4, reg_steps=3, fp_iters=8, alpha_bisect_iters=24,
+    )
+
+    _, tr_ref = jax.jit(make_rgps_solver(env, **kw))(mu0, sigma0)
+    solve = make_rgps_solver(env, differentiable=True, **kw)
+    _, tr_dif = jax.jit(solve)(mu0, sigma0)
+    np.testing.assert_allclose(np.asarray(tr_dif), np.asarray(tr_ref), rtol=1e-12)
+
+    g = np.asarray(
+        jax.jit(jax.grad(lambda m: solve(m, sigma0)[1][-1]))(mu0)
+    )
+    assert np.all(np.isfinite(g)) and np.any(np.abs(g) > 0.0)
+
+
 def test_bsp_differentiable_matches_default_and_fd():
     """make_bsp_solver(differentiable=True): exact rewrite of the compiled
     belief-space solver + FD-pinned gradients w.r.t. the initial belief mean
