@@ -114,6 +114,37 @@ def test_selected_alpha_per_lane():
                                    rtol=1e-10)
 
 
+def test_solver_level_pallas_rollout_matches_scan_interpreted():
+    """The FULL batched solver with rollout='pallas' (interpreter mode) vs the
+    scan solver — covers the solver-level glue the kernel tests can't: the
+    packed-gain handoff, first-acceptable-α selection, accept/reject masking,
+    λ updates (the path otherwise exercised only on device, test_tpu.py)."""
+    from trajopt_tpu.parallel.mpc import make_ilqr_solver_batched
+
+    env = trajopt_tpu.make("Cartpole-TO-v0")
+    N, T, nb_iter = 3, 12, 3
+    x0 = jnp.asarray(np.asarray(env.x0))
+    x0s = jnp.tile(x0, (N, 1)) + 0.01 * jnp.arange(N, dtype=x0.dtype)[:, None]
+
+    ss = jax.jit(make_ilqr_solver_batched(env, T, nb_iter=nb_iter,
+                                          backward="scan"))
+    s_ref, tr_ref = ss(x0s)
+    # interpreter-mode Pallas: call UNJITTED (CLAUDE.md invariant)
+    sp = make_ilqr_solver_batched(
+        env, T, nb_iter=nb_iter, backward="scan", rollout="pallas",
+        interpret=True,
+    )
+    s_p, tr_p = sp(x0s)
+
+    np.testing.assert_allclose(np.asarray(tr_p), np.asarray(tr_ref), rtol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(s_p.uref), np.asarray(s_ref.uref), rtol=1e-8, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_p.xref), np.asarray(s_ref.xref), rtol=1e-8, atol=1e-10
+    )
+
+
 def test_slew_rate_and_activation():
     """Slew-rate control cost and sigmoid activation weighting run through the
     kernel cost path (mbgps.py:76-86 weighting; pendulum.py:111-125 slew)."""

@@ -262,8 +262,14 @@ def make_ilqr_solver_batched(
     rollout: str = "scan",
     differentiable: bool = False,
     lm_steps: int = 16,
+    interpret: bool = False,
 ):
     """Batch-native iLQR: ``solve(x0s (N, dx), kff_init (N, T, du)|None)``.
+
+    ``interpret=True`` runs the Pallas engines through the kernel interpreter
+    (CPU testing of the solver-level glue — gain handoff, α selection, λ
+    masking); do NOT wrap the returned solve in ``jax.jit`` then (CLAUDE.md:
+    jit of interpreter-mode kernels compiles the unrolled body pathologically).
 
     Same accept/reject semantics as :func:`make_ilqr_solver`, but the batch axis is
     primal rather than vmapped, so the backward pass can run as ONE kernel over all
@@ -347,7 +353,7 @@ def make_ilqr_solver_batched(
                 pk = dict(packed)
                 pk["lam"] = pack_scalar(lmbda, n_pad)
                 Kl, kffl, dVl, badl = pallas_ilqr_backward_packed(
-                    pk, dx, du, reg, time_chunk=time_chunk
+                    pk, dx, du, reg, time_chunk=time_chunk, interpret=interpret
                 )
                 dV = jnp.transpose(dVl.reshape(2, -1))[:N]
                 div = badl.reshape(-1)[:N] > 0
@@ -478,7 +484,8 @@ def make_ilqr_solver_batched(
                     "uref": _to_lanes(uref, n_pad),
                 }
             ret_l, ok_l = pallas_rollout_returns(
-                env, pk, weighting, alphas_t, time_chunk=rtc
+                env, pk, weighting, alphas_t, time_chunk=rtc,
+                interpret=interpret,
             )
             returns = jnp.transpose(ret_l.reshape(len(alphas_t), -1))[:N]
             oks = jnp.transpose(ok_l.reshape(len(alphas_t), -1))[:N] > 0
@@ -487,7 +494,8 @@ def make_ilqr_solver_batched(
         def pallas_select(pk, alpha_sel, N):
             alpha_l = pack_scalar(alpha_sel, lane_pad(N))
             s_l, a_l, xT_l, _ = pallas_rollout_selected(
-                env, pk, weighting, alpha_l, time_chunk=rtc
+                env, pk, weighting, alpha_l, time_chunk=rtc,
+                interpret=interpret,
             )
             return unpack_selected(s_l, a_l, xT_l, N)
 
