@@ -168,3 +168,35 @@ def test_packed_dual_chain_bit_exact_vs_oneshot():
     qe = unpack_gps_scalar(qe_l, N)
     qe_r = jax.vmap(quad_expectation)(mu0, sigma0, V0_r, v0_r, c0_r)
     np.testing.assert_allclose(qe, qe_r, rtol=1e-8, atol=1e-8)
+
+
+def test_solver_level_pallas_engine_matches_scan_interpreted():
+    """The FULL batched MBGPS solve with engine='pallas' (interpreter mode) vs
+    the scan engine — covers the solver-level glue the kernel tests can't:
+    the pack-once-per-dual layout reuse, per-instance bracket lockstep, and
+    acceptance masking (otherwise device-only, test_tpu.py)."""
+    import trajopt_tpu
+    from trajopt_tpu.parallel.gps import make_mbgps_solver_batched
+
+    env = trajopt_tpu.make("LQR-TO-v0", sigma_scale=1e-4)
+    N, T = 3, 10
+    keys = jax.random.split(jax.random.PRNGKey(0), N)
+    mu0, sigma0 = env.init()
+    mu0s = jnp.tile(jnp.asarray(mu0), (N, 1)) + 0.05 * jnp.arange(
+        N, dtype=jnp.float64
+    )[:, None]
+    sigma0s = jnp.tile(jnp.asarray(sigma0), (N, 1, 1))
+
+    # bisect_iters kept small: each bisection step in interpreter mode is two
+    # Python-interpreted kernel walks; parity is exact at ANY iteration count
+    # because both engines run the same bracket sequence
+    _, tr_s = jax.jit(make_mbgps_solver_batched(
+        env, T, nb_iter=2, kl_bound=2.0, bisect_iters=8, engine="scan"
+    ))(keys, mu0s, sigma0s)
+    # interpreter-mode Pallas: call UNJITTED (CLAUDE.md invariant)
+    _, tr_p = make_mbgps_solver_batched(
+        env, T, nb_iter=2, kl_bound=2.0, bisect_iters=8, engine="pallas",
+        interpret=True,
+    )(keys, mu0s, sigma0s)
+
+    np.testing.assert_allclose(np.asarray(tr_p), np.asarray(tr_s), rtol=1e-7)

@@ -447,9 +447,14 @@ def make_mbgps_solver_batched(
     bisect_iters: int = 64,
     engine: str = "scan",
     time_chunk: int = 8,
+    interpret: bool = False,
 ):
     """Batch-native compiled MBGPS: ``solve(keys (N,), mu0s (N,dx), sigma0s
     (N,dx,dx)) -> (state, traces (N, nb_iter+1))``.
+
+    ``interpret=True`` runs the Pallas engine through the kernel interpreter
+    (CPU testing of the solver-level glue); do NOT wrap the returned solve in
+    ``jax.jit`` then (CLAUDE.md invariant).
 
     Same semantics as :func:`make_mbgps_solver` with the batch axis primal.  The
     dual bisection runs per-instance brackets in lockstep; with
@@ -526,10 +531,12 @@ def make_mbgps_solver_batched(
                 alpha = (10.0 ** log_alpha)[:, None] * jnp.ones((1, T), dt)
                 alpha_l = pack_gps_alpha(alpha, time_chunk=time_chunk)
                 K_l, kff_l, sigc_l, _, _, _, bad = pallas_gps_backward_packed(
-                    packed, alpha_l, dx, du, time_chunk=time_chunk
+                    packed, alpha_l, dx, du, time_chunk=time_chunk,
+                    interpret=interpret,
                 )
                 kl_l, _, _ = pallas_gps_forward_kl_packed(
-                    packed, K_l, kff_l, sigc_l, dx, du, time_chunk=time_chunk
+                    packed, K_l, kff_l, sigc_l, dx, du, time_chunk=time_chunk,
+                    interpret=interpret,
                 )
                 return unpack_gps_scalar(kl_l, N), unpack_gps_scalar(bad, N) > 0
 
