@@ -129,7 +129,11 @@ def test_solver_level_pallas_rollout_matches_scan_interpreted():
     ss = jax.jit(make_ilqr_solver_batched(env, T, nb_iter=nb_iter,
                                           backward="scan"))
     s_ref, tr_ref = ss(x0s)
-    # interpreter-mode Pallas: call UNJITTED (CLAUDE.md invariant)
+    # interpreter-mode Pallas: call UNJITTED (CLAUDE.md invariant).  Only the
+    # backward='scan' repack path runs here — the packed-gain handoff
+    # (backward='pallas' → rollout) would put the interpret backward inside the
+    # λ while_loop, whose body compilation of the unrolled interpreter body is
+    # pathological (CLAUDE.md); that path is device-tested in test_tpu.py.
     sp = make_ilqr_solver_batched(
         env, T, nb_iter=nb_iter, backward="scan", rollout="pallas",
         interpret=True,
