@@ -247,6 +247,33 @@ def bench_pscan_latency(T=1000, dx=4, du=2, reps=800):
     return t_pallas * 1e6, t_assoc * 1e6
 
 
+def bench_mpc_batch1_latency(T=100, nb_iter=3, reps=50, backward="pallas-pscan"):
+    """Single-problem MPC replan latency (ms): one full compiled iLQR solve
+    (linearize → λ-loop backward → α-grid line search × nb_iter) at batch 1 —
+    the real-time-control number, with the parallel-in-time Pallas backward
+    (core/pallas_pscan.py) collapsing the O(T) recursion to O(log T) depth.
+    The reference's per-replan cost is its Python iteration loop
+    (ilqr/ilqr.py:136-237) — seconds at this horizon."""
+    import jax.numpy as jnp
+
+    import trajopt_tpu
+    from trajopt_tpu.parallel.mpc import make_ilqr_solver
+
+    env = trajopt_tpu.make("Pendulum-TO-v0", dt=0.05)
+    solve = make_ilqr_solver(env, T, nb_iter=nb_iter, backward=backward)
+    x0 = jnp.asarray(np.array(env.x0), jnp.float32)
+
+    def fn(x0):
+        state, _ = solve(x0)
+        return state
+
+    def perturb(args, state):
+        return (args[0] + 1e-30 * jnp.sum(state.uref[0]),)
+
+    sec = _chain(fn, (x0,), perturb, reps)
+    return sec * 1e3
+
+
 def bench_riccati(T=100, batch=4096, on_tpu=True, reps=400):
     """Riccati LQR recursion (BASELINE config #1): exact backward pass + gains at
     T=100 — on TPU, the packed Pallas kernel via the homogeneous-coordinate
@@ -841,6 +868,7 @@ def main():
             return us_pallas
 
         try_bench("pscan_batch1_pallas_us", pscan_pair)
+        try_bench("mpc_batch1_replan_ms", bench_mpc_batch1_latency)
     try_bench(
         "riccati_T100_tps@4096",
         lambda: bench_riccati(on_tpu=on_tpu),
