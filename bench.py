@@ -138,7 +138,10 @@ def bench_ilqr_iters(on_tpu):
     from trajopt_tpu.parallel.mpc import make_ilqr_solver_batched
 
     env = trajopt_tpu.make("Cartpole-TO-v0")
-    T, N, nb_iter, reps = 1000, 2048, 10, 2
+    # CPU fallback shrinks the config: the full 2048×1000×10 headline takes
+    # hours on the single-core host and the fallback's job is to EMIT a line,
+    # not to compete — the unit string records platform and config
+    T, N, nb_iter, reps = (1000, 2048, 10, 2) if on_tpu else (100, 64, 3, 2)
 
     x0 = jnp.zeros((N, env.dm_state), jnp.float32)
     x0 = x0.at[:, 0].add(0.01 * jnp.arange(N, dtype=jnp.float32))
@@ -165,7 +168,7 @@ def bench_ilqr_iters(on_tpu):
 
             sec = _chain(fn, (x0,), perturb, reps)
             return (N * nb_iter / sec, sec / nb_iter,
-                    f"backward={backward},rollout={rollout}")
+                    f"backward={backward},rollout={rollout}", T, N)
         except Exception as e:  # pragma: no cover - defensive fallback
             last_err = e
             print(f"headline engine {backward}/{rollout} failed: {e!r}",
@@ -826,6 +829,14 @@ def main():
 
     from trajopt_tpu.utils.native import bench_backward_native
 
+    # The accelerator plugin hijacks jax's backend selection (sitecustomize
+    # wraps _get_backend_uncached), so the JAX_PLATFORMS env var CANNOT steer
+    # the platform here — only the config API can (same reason tests/conftest
+    # uses jax.config.update).  The fallback therefore re-execs with a private
+    # flag and applies the config API before the first backend touch.
+    if os.environ.get("BENCH_FORCE_CPU") == "1":
+        jax.config.update("jax_platforms", "cpu")
+
     try:
         dev = jax.devices()[0]
     except RuntimeError as e:
@@ -833,16 +844,13 @@ def main():
         # session claim blocks init and then raises UNAVAILABLE).  The bench
         # must always emit its JSON line, so re-exec on the CPU backend
         # instead of dying; the platform is recorded in the unit string.
-        # The container registers the accelerator plugin via sitecustomize
-        # with JAX_PLATFORMS typically UNSET, so the fallback must trigger on
-        # anything but an explicit "cpu" (the re-exec pins cpu: loop-safe).
-        if os.environ.get("JAX_PLATFORMS", "") != "cpu":
+        if os.environ.get("BENCH_FORCE_CPU") != "1":
             print(
                 f"device backend unavailable ({e!r}); re-running bench on CPU",
                 file=sys.stderr,
             )
             sys.stderr.flush()
-            env = dict(os.environ, JAX_PLATFORMS="cpu")
+            env = dict(os.environ, BENCH_FORCE_CPU="1")
             os.execve(sys.executable, [sys.executable] + sys.argv, env)
         raise
     on_tpu = dev.platform != "cpu"
@@ -857,7 +865,9 @@ def main():
             print(f"bench {name} failed: {e!r}", file=sys.stderr)
 
     # headline: full iLQR iterations/sec at horizon 1000
-    iters_per_s, sec_per_batch_iter, engine_tag = bench_ilqr_iters(on_tpu)
+    iters_per_s, sec_per_batch_iter, engine_tag, hl_T, hl_N = bench_ilqr_iters(
+        on_tpu
+    )
 
     if on_tpu:  # Mosaic kernel paths: TPU only (tests cover interpreter mode)
         try_bench("ilqr_backward_packed_tps@16384", lambda: bench_backward_packed(T, dx, du, 16384))
@@ -933,7 +943,7 @@ def main():
     # the reference's per-iteration cost — its iteration adds per-t autograd
     # linearization and Python rollout loops).  Best of 3 blocks: the single-core
     # host is shared and a contended run would inflate vs_baseline.
-    single = _problem(T, dx, du, 0)
+    single = _problem(hl_T, dx, du, 0)
     reps = 20
     t_cpu = min(
         bench_backward_native(
@@ -945,10 +955,10 @@ def main():
     cpu_iters_upper_bound = reps / t_cpu  # iterations/s if an iteration were ONLY the backward pass
 
     result = {
-        "metric": "ilqr_iters_per_sec_T1000",
+        "metric": f"ilqr_iters_per_sec_T{hl_T}",
         "value": round(iters_per_s, 1),
         "unit": (
-            f"instance-iterations/s ({dev.platform}, cartpole dx=4, T=1000, batch 2048, {engine_tag}, "
+            f"instance-iterations/s ({dev.platform}, cartpole dx=4, T={hl_T}, batch {hl_N}, {engine_tag}, "
             f"full linearize+backward+linesearch iteration = {sec_per_batch_iter * 1e3:.1f} ms/batch-iter; "
             f"chained on-device timing; vs_baseline is conservative: CPU denominator is the "
             f"C++ backward pass alone, {cpu_iters_upper_bound:.1f} it/s upper bound)"
