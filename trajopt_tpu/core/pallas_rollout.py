@@ -119,7 +119,7 @@ def _step(env, x, uprev, K, kff, xr, ur, alpha, w, dx, du):
 
 
 def _returns_kernel(
-    k_ref, kff_ref, xref_ref, uref_ref, w_ref, wT_ref,
+    k_ref, kff_ref, xref_ref, uref_ref, w_ref,
     ret_ref, ok_ref,
     x_s, uprev_s,
     *, env, dx, du, alphas, time_chunk, tc,
@@ -142,7 +142,7 @@ def _returns_kernel(
         kff = [kff_ref[tloc, j] for j in range(du)]
         xr = [xref_ref[tloc, c] for c in range(dx)]
         ur = [uref_ref[tloc, j] for j in range(du)]
-        w = w_ref[tloc]
+        w = w_ref[i * time_chunk + tloc]
         for a in range(nA):
             x = [x_s[a * dx + c] for c in range(dx)]
             uprev = [uprev_s[a * du + j] for j in range(du)]
@@ -163,7 +163,7 @@ def _returns_kernel(
 
     @pl.when(i == tc - 1)
     def _():
-        wT = wT_ref[0]
+        wT = w_ref[tc * time_chunk]
         for a in range(nA):
             x = [x_s[a * dx + c] for c in range(dx)]
             zeros = [jnp.zeros_like(x[0]) for _ in range(du)]
@@ -175,7 +175,7 @@ def _returns_kernel(
 
 
 def _selected_kernel(
-    k_ref, kff_ref, xref_ref, uref_ref, w_ref, wT_ref, alpha_ref,
+    k_ref, kff_ref, xref_ref, uref_ref, w_ref, alpha_ref,
     xs_ref, us_ref, xT_ref, ret_ref,
     x_s, uprev_s,
     *, env, dx, du, time_chunk, tc,
@@ -196,7 +196,7 @@ def _selected_kernel(
         kff = [kff_ref[tloc, j] for j in range(du)]
         xr = [xref_ref[tloc, c] for c in range(dx)]
         ur = [uref_ref[tloc, j] for j in range(du)]
-        w = w_ref[tloc]
+        w = w_ref[i * time_chunk + tloc]
         x = [x_s[c] for c in range(dx)]
         uprev = [uprev_s[j] for j in range(du)]
         for c in range(dx):
@@ -211,7 +211,7 @@ def _selected_kernel(
             uprev_s[j] = u[j]
 
     # final state + terminal cost (xT/ret blocks are revisited; last write wins)
-    wT = wT_ref[0]
+    wT = w_ref[tc * time_chunk]
     for c in range(dx):
         xT_ref[c] = x_s[c]
     zeros = [jnp.zeros_like(x_s[0]) for _ in range(du)]
@@ -267,11 +267,11 @@ def _specs(dx, du, time_chunk, sub):
             (e, sub, LANES), lambda b, i: (0, b, 0), memory_space=pltpu.VMEM
         )
 
-    w_spec = pl.BlockSpec(
-        (time_chunk,), lambda b, i: (i,), memory_space=pltpu.SMEM
-    )
-    wT_spec = pl.BlockSpec((1,), lambda b, i: (0,), memory_space=pltpu.SMEM)
-    return tspec, cspec, w_spec, wT_spec
+    # Mosaic requires rank-1 blocks to be full-size or 128-multiples, so the
+    # whole (T+1,) weighting vector rides in SMEM untiled (trivial index map)
+    # and the kernels index it at i*time_chunk + tloc / at T.
+    w_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    return tspec, cspec, w_spec
 
 
 def _grid_shape(packed):
@@ -304,7 +304,7 @@ def pallas_rollout_returns(
     tc = T // time_chunk
     nA = len(alphas)
 
-    tspec, cspec, w_spec, wT_spec = _specs(dx, du, time_chunk, sub)
+    tspec, cspec, w_spec = _specs(dx, du, time_chunk, sub)
     kernel = partial(
         _returns_kernel, env=env, dx=dx, du=du, alphas=alphas,
         time_chunk=time_chunk, tc=tc,
@@ -315,7 +315,7 @@ def pallas_rollout_returns(
         kernel,
         grid=(nsub // sub, tc),
         in_specs=[
-            tspec(du * dx), tspec(du), tspec(dx), tspec(du), w_spec, wT_spec,
+            tspec(du * dx), tspec(du), tspec(dx), tspec(du), w_spec,
         ],
         out_specs=[cspec(nA), cspec(nA)],
         out_shape=[
@@ -330,7 +330,7 @@ def pallas_rollout_returns(
     )
     return call(
         packed["K"], packed["kff"], packed["xref"], packed["uref"],
-        w[:T], w[T:T + 1],
+        w[:T + 1],
     )
 
 
@@ -355,7 +355,7 @@ def pallas_rollout_selected(
         raise ValueError(f"T={T} not divisible by time_chunk={time_chunk}")
     tc = T // time_chunk
 
-    tspec, cspec, w_spec, wT_spec = _specs(dx, du, time_chunk, sub)
+    tspec, cspec, w_spec = _specs(dx, du, time_chunk, sub)
     kernel = partial(
         _selected_kernel, env=env, dx=dx, du=du, time_chunk=time_chunk, tc=tc
     )
@@ -365,7 +365,7 @@ def pallas_rollout_selected(
         kernel,
         grid=(nsub // sub, tc),
         in_specs=[
-            tspec(du * dx), tspec(du), tspec(dx), tspec(du), w_spec, wT_spec,
+            tspec(du * dx), tspec(du), tspec(dx), tspec(du), w_spec,
             pl.BlockSpec((sub, LANES), lambda b, i: (b, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -388,7 +388,7 @@ def pallas_rollout_selected(
     )
     return call(
         packed["K"], packed["kff"], packed["xref"], packed["uref"],
-        w[:T], w[T:T + 1], alpha_l,
+        w[:T + 1], alpha_l,
     )
 
 
