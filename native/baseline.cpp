@@ -1179,6 +1179,261 @@ double bsp_backward_bench(
     return std::chrono::duration<double>(end - start).count();
 }
 
+// -----------------------------------------------------------------------------------
+// Full belief-MPC control-step chain at light-dark dims — the honest CPU
+// denominator for bsp_lightdark_mpc_steps_per_s: what a plain-C++ port of the
+// reference's per-control-step work (examples/bspilqr/lightdark.py:34-45) has
+// to compute: nb_iter iterations of (belief-dynamics expansion [central FD in
+// lieu of autograd] -> lambda-escalated (S,s,tau) backward -> 11-alpha belief
+// rollouts -> accept/reject) plus the closing EKF update.  The old
+// backward-only denominator (bsp_backward_bench x nb_iter) stays reported as
+// bsp_cpu_steps_per_s_backward_only.
+// -----------------------------------------------------------------------------------
+
+namespace lightdark {
+
+constexpr int B = 2, AC = 2, BB = 4, NIN = 8, NOUT = 10, NA = 11;
+constexpr double XL0 = 7.0, XL1 = 4.0;
+constexpr double DYN_SIG = 1e-8, OBS_SIG = 1e-4;
+
+inline void dynamics(const double* x, const double* u, double* f) {
+    double a = x[0] + u[0], b = x[1] + u[1];
+    f[0] = a < -XL0 ? -XL0 : (a > XL0 ? XL0 : a);
+    f[1] = b < -XL1 ? -XL1 : (b > XL1 ? XL1 : b);
+}
+
+inline void obs_noise(const double* x, double* R) {
+    double d = 5.0 - x[0];
+    R[0] = OBS_SIG + 0.5 * d * d; R[1] = 0.0; R[2] = 0.0; R[3] = OBS_SIG;
+}
+
+inline void inv2(const double* M, double* I) {
+    double det = M[0] * M[3] - M[1] * M[2];
+    double inv = 1.0 / det;
+    I[0] = M[3] * inv; I[1] = -M[1] * inv;
+    I[2] = -M[2] * inv; I[3] = M[0] * inv;
+}
+
+// (f, W, phi) = belief EKF predict+gain step (H = I), Joseph form
+inline void ekf_step(const double* mu, const double* sig, const double* u,
+                     double* f, double* W, double* phi) {
+    dynamics(mu, u, f);
+    // A = d f / d mu (clip mask)
+    double a00 = (f[0] > -XL0 && f[0] < XL0) ? 1.0 : 0.0;
+    double a11 = (f[1] > -XL1 && f[1] < XL1) ? 1.0 : 0.0;
+    double D[4] = {a00 * sig[0] * a00 + DYN_SIG, a00 * sig[1] * a11,
+                   a11 * sig[2] * a00, a11 * sig[3] * a11 + DYN_SIG};
+    D[1] = D[2] = 0.5 * (D[1] + D[2]);
+    double R[4]; obs_noise(f, R);
+    double S[4] = {D[0] + R[0], D[1] + R[1], D[2] + R[2], D[3] + R[3]};
+    double Si[4]; inv2(S, Si);
+    double K[4]; matmat(D, Si, K, 2, 2, 2);
+    matmat(K, D, W, 2, 2, 2);
+    double IK[4] = {1.0 - K[0], -K[1], -K[2], 1.0 - K[3]};
+    double T1[4], T2[4];
+    matmat(IK, D, T1, 2, 2, 2); matmatT(T1, IK, T2, 2, 2, 2);
+    matmat(K, R, T1, 2, 2, 2);
+    double T3[4]; matmatT(T1, K, T3, 2, 2, 2);
+    for (int i = 0; i < 4; ++i) phi[i] = T2[i] + T3[i];
+    phi[1] = phi[2] = 0.5 * (phi[1] + phi[2]);
+}
+
+inline void flat_ekf(const double* z, double* out) {
+    ekf_step(z, z + B, z + B + BB, out, out + B, out + B + BB);
+}
+
+inline double bcost(const double* mu, const double* sig, const double* u) {
+    return 0.5 * (mu[0] * mu[0] + mu[1] * mu[1]) + 200.0 * sig[0]
+           + 0.5 * (u[0] * u[0] + u[1] * u[1]);
+}
+
+}  // namespace lightdark
+
+double bsp_mpc_step_bench(int T, int nb_iter, int reps) {
+    using namespace lightdark;
+    const int bb = BB, b = B, a = AC;
+    const double min_l = 1e-6, max_l = 1e6, mult_l = 1.6;
+    const double tolfun = 1e-8, tolgrad = 1e-6, min_imp = 0.0;
+    double alphas[NA];
+    for (int i = 0; i < NA; ++i) alphas[i] = std::pow(10.0, -3.0 * i / 10.0);
+
+    // trajectory + expansion storage
+    double* bmu = new double[(T + 1) * b];
+    double* bsig = new double[(T + 1) * bb];
+    double* uref = new double[T * a];
+    double* Q = new double[(T + 1) * bb]; double* q = new double[(T + 1) * b];
+    double* R = new double[(T + 1) * a * a]; double* r = new double[(T + 1) * a];
+    double* P = new double[(T + 1) * b * a]; double* pv = new double[(T + 1) * bb];
+    double* F = new double[T * bb]; double* G = new double[T * b * a];
+    double* X = new double[T * bb * b]; double* Y = new double[T * bb * bb];
+    double* Z = new double[T * bb * a]; double* Tm = new double[T * bb * b];
+    double* U = new double[T * bb * bb]; double* Vm = new double[T * bb * a];
+    double* K = new double[T * a * b]; double* kff = new double[T * a];
+    double* Kacc = new double[T * a * b]; double* kacc = new double[T * a];
+    double* nmu = new double[NA * (T + 1) * b];
+    double* nsig = new double[NA * (T + 1) * bb];
+    double* nu = new double[NA * T * a];
+    double rets[NA]; double dS[2];
+    Kacc[0] = 0.0; kacc[0] = 0.0;
+
+    auto rollout = [&](double alpha, double* omu, double* osig, double* ou) {
+        double mu[B], sg[BB], u[AC], f[B], W[BB], phi[BB];
+        std::memcpy(mu, bmu, sizeof mu);
+        std::memcpy(sg, bsig, sizeof sg);
+        double ret = 0.0;
+        for (int t = 0; t < T; ++t) {
+            for (int j = 0; j < a; ++j) {
+                double v = uref[t * a + j] + alpha * kff[t * a + j];
+                for (int c = 0; c < b; ++c)
+                    v += K[t * a * b + j * b + c] * (mu[c] - bmu[t * b + c]);
+                u[j] = v;
+            }
+            ret += bcost(mu, sg, u);
+            std::memcpy(omu + t * b, mu, sizeof mu);
+            std::memcpy(osig + t * bb, sg, sizeof sg);
+            std::memcpy(ou + t * a, u, sizeof u);
+            ekf_step(mu, sg, u, f, W, phi);
+            std::memcpy(mu, f, sizeof mu);
+            std::memcpy(sg, phi, sizeof sg);
+        }
+        double uz[AC] = {0.0, 0.0};
+        ret += bcost(mu, sg, uz);
+        std::memcpy(omu + T * b, mu, sizeof mu);
+        std::memcpy(osig + T * bb, sg, sizeof sg);
+        return ret;
+    };
+
+    auto expand = [&]() {
+        // closed-form cost expansion (quadratic belief cost)
+        for (int t = 0; t <= T; ++t) {
+            Q[t * bb] = 1.0; Q[t * bb + 1] = 0.0; Q[t * bb + 2] = 0.0; Q[t * bb + 3] = 1.0;
+            q[t * b] = bmu[t * b]; q[t * b + 1] = bmu[t * b + 1];
+            R[t * a * a] = 1.0; R[t * a * a + 1] = 0.0; R[t * a * a + 2] = 0.0; R[t * a * a + 3] = 1.0;
+            double u0 = t < T ? uref[t * a] : 0.0, u1 = t < T ? uref[t * a + 1] : 0.0;
+            r[t * a] = u0; r[t * a + 1] = u1;
+            for (int i = 0; i < b * a; ++i) P[t * b * a + i] = 0.0;
+            pv[t * bb] = 200.0; pv[t * bb + 1] = 0.0; pv[t * bb + 2] = 0.0; pv[t * bb + 3] = 0.0;
+        }
+        // belief-dynamics expansion by central differences (the C++ stand-in
+        // for the reference's per-step autograd jacobian)
+        const double h = 1e-6;
+        double z[NIN], op[NOUT], om[NOUT];
+        for (int t = 0; t < T; ++t) {
+            std::memcpy(z, bmu + t * b, sizeof(double) * b);
+            std::memcpy(z + b, bsig + t * bb, sizeof(double) * bb);
+            std::memcpy(z + b + bb, uref + t * a, sizeof(double) * a);
+            for (int k = 0; k < NIN; ++k) {
+                double z0 = z[k];
+                z[k] = z0 + h; flat_ekf(z, op);
+                z[k] = z0 - h; flat_ekf(z, om);
+                z[k] = z0;
+                for (int i = 0; i < NOUT; ++i) {
+                    double d = (op[i] - om[i]) / (2.0 * h);
+                    if (i < b) {
+                        if (k < b) F[t * bb + i * b + k] = d;
+                        else if (k >= b + bb) G[t * b * a + i * a + (k - b - bb)] = d;
+                    } else if (i < b + bb) {
+                        int row = i - b;
+                        if (k < b) X[t * bb * b + row * b + k] = d;
+                        else if (k < b + bb) Y[t * bb * bb + row * bb + (k - b)] = d;
+                        else Z[t * bb * a + row * a + (k - b - bb)] = d;
+                    } else {
+                        int row = i - b - bb;
+                        if (k < b) Tm[t * bb * b + row * b + k] = d;
+                        else if (k < b + bb) U[t * bb * bb + row * bb + (k - b)] = d;
+                        else Vm[t * bb * a + row * a + (k - b - bb)] = d;
+                    }
+                }
+            }
+        }
+    };
+
+    auto start = std::chrono::steady_clock::now();
+    for (int rep = 0; rep < reps; ++rep) {
+        // fresh replan from the canonical initial belief (the MPC driver
+        // re-instantiates the solver every control step)
+        double mu0[B] = {2.0, 2.0};
+        double sig0[BB] = {5.0, 0.0, 0.0, 1e-8};
+        std::memcpy(bmu, mu0, sizeof mu0);
+        std::memcpy(bsig, sig0, sizeof sig0);
+        std::memset(uref, 0, sizeof(double) * T * a);
+        std::memset(K, 0, sizeof(double) * T * a * b);
+        std::memset(kff, 0, sizeof(double) * T * a);
+        double last_ret = rollout(1.0, bmu, bsig, uref);
+        std::memset(uref, 0, sizeof(double) * T * a);
+
+        double lm = 1.0, dlm = 1.0;
+        bool done = false;
+        for (int it = 0; it < nb_iter && !done; ++it) {
+            expand();
+            // lambda-escalated backward (backward_with_lm semantics)
+            bool diverged = false, first = true;
+            while ((first || diverged) && lm <= max_l) {
+                first = false;
+                int fail = bsp_backward_cpu(Q, q, R, r, P, pv, F, G, X, Y, Z,
+                                            Tm, U, Vm, lm, 1, T, b, a,
+                                            K, kff, dS);
+                diverged = fail != 0;
+                if (diverged) {
+                    dlm = std::max(dlm * mult_l, mult_l);
+                    lm = std::max(lm * dlm, min_l);
+                }
+            }
+            double gn0 = 0.0, gn1 = 0.0;
+            for (int t = 0; t < T; ++t) {
+                gn0 = std::max(gn0, std::fabs(kff[t * a]) / (std::fabs(uref[t * a]) + 1.0));
+                gn1 = std::max(gn1, std::fabs(kff[t * a + 1]) / (std::fabs(uref[t * a + 1]) + 1.0));
+            }
+            bool grad_done = 0.5 * (gn0 + gn1) < tolgrad && lm < 1e-5;
+
+            int idx = -1;
+            for (int ai = 0; ai < NA; ++ai) {
+                rets[ai] = rollout(alphas[ai], nmu + ai * (T + 1) * b,
+                                   nsig + ai * (T + 1) * bb, nu + ai * T * a);
+                double expd = -alphas[ai] * (dS[0] + alphas[ai] * dS[1]);
+                double imp = (last_ret - rets[ai]) / expd;
+                if (idx < 0 && imp > min_imp && !diverged && std::isfinite(rets[ai]))
+                    idx = ai;
+            }
+            bool accepted = idx >= 0;
+            double dlm_acc = std::min(dlm / mult_l, 1.0 / mult_l);
+            double lm_acc = lm * dlm_acc * (lm > min_l ? 1.0 : 0.0);
+            double dlm_rej = std::max(dlm * mult_l, mult_l);
+            double lm_rej = std::max(lm * dlm_rej, min_l);
+            bool take = accepted && !grad_done;
+            if (take) {
+                double dret = last_ret - rets[idx];
+                std::memcpy(bmu, nmu + idx * (T + 1) * b, sizeof(double) * (T + 1) * b);
+                std::memcpy(bsig, nsig + idx * (T + 1) * bb, sizeof(double) * (T + 1) * bb);
+                std::memcpy(uref, nu + idx * T * a, sizeof(double) * T * a);
+                last_ret = rets[idx];
+                lm = lm_acc; dlm = dlm_acc;
+                if (dret < tolfun) done = true;
+            } else {
+                lm = lm_rej; dlm = dlm_rej;
+            }
+            if (grad_done || (!accepted && lm_rej > max_l)) done = true;
+        }
+        // closing EKF update of the MPC step (predict at u0 + innovate, H = I)
+        {
+            double f[B], W[BB], phi[BB];
+            ekf_step(bmu, bsig, uref, f, W, phi);
+            (void)f; (void)W; (void)phi;
+        }
+        Kacc[0] += K[0]; kacc[0] += kff[0];  // defeat dead-code elimination
+    }
+    auto end = std::chrono::steady_clock::now();
+    double secs = std::chrono::duration<double>(end - start).count();
+    volatile double sink = Kacc[0] + kacc[0]; (void)sink;
+
+    delete[] bmu; delete[] bsig; delete[] uref; delete[] Q; delete[] q;
+    delete[] R; delete[] r; delete[] P; delete[] pv; delete[] F; delete[] G;
+    delete[] X; delete[] Y; delete[] Z; delete[] Tm; delete[] U; delete[] Vm;
+    delete[] K; delete[] kff; delete[] Kacc; delete[] kacc;
+    delete[] nmu; delete[] nsig; delete[] nu;
+    return secs;
+}
+
 double gps_dual_chain_bench(
     const double* Cxx, const double* cx, const double* Cuu, const double* cu,
     const double* Cxu, const double* c0, const double* A, const double* B,

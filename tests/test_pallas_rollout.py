@@ -167,3 +167,24 @@ def test_slew_rate_and_activation():
     np.testing.assert_allclose(
         np.asarray(ret_p), np.asarray(jnp.sum(c_scan, axis=2)), rtol=1e-10
     )
+
+
+def test_solver_fast_line_search_pallas_matches_scan():
+    """fast_line_search=True with rollout='pallas' (round-4: the 1-candidate
+    phase-A + cond fallback) must reproduce the plain scan solver — including
+    iterations where some instance rejects alpha_0 (the slow branch)."""
+    from trajopt_tpu.parallel.mpc import make_ilqr_solver_batched
+
+    env = trajopt_tpu.make("Pendulum-TO-v0", dt=0.05).replace(uw=(1e-5,))
+    N, T = 4, 16
+    x0 = jnp.asarray(np.asarray(env.x0), jnp.float64)
+    x0s = jnp.tile(x0, (N, 1)) + 0.3 * jnp.arange(N, dtype=jnp.float64)[:, None]
+
+    ss = jax.jit(make_ilqr_solver_batched(env, T, nb_iter=4, backward="scan"))
+    rs = np.asarray(ss(x0s)[0].last_return)
+    sf = make_ilqr_solver_batched(
+        env, T, nb_iter=4, backward="scan", rollout="pallas",
+        fast_line_search=True, interpret=True,
+    )
+    rf = np.asarray(sf(x0s)[0].last_return)
+    np.testing.assert_allclose(rf, rs, rtol=1e-8)

@@ -183,3 +183,66 @@ def test_batched_ilqr_pallas_rollout_matches_scan():
         ))
         rp = np.asarray(sp(x0s)[0].last_return)
         np.testing.assert_allclose(rp, rs, rtol=1e-4)
+
+
+@requires_tpu
+def test_pallas_bsp_solve_kernel_on_device():
+    """Single-launch BSP solve kernel (core/pallas_bsp.py) vs the plane-math
+    twin (whose scan-solver parity is pinned on CPU in tests/test_pallas_bsp)."""
+    from trajopt_tpu.core.pallas_bsp import (
+        pallas_bsp_solve,
+        run_bsp_solve_planes,
+    )
+
+    env = trajopt_tpu.make("LightDark-TO-v0")
+    T, it = 15, 5
+    mu0, sigma0 = env.init()
+    mu0 = jnp.asarray(np.array(mu0), jnp.float32)
+    sigma0 = jnp.asarray(np.array(sigma0), jnp.float32)
+
+    st_r, tr_r = jax.jit(run_bsp_solve_planes(env, T, nb_iter=it))(
+        mu0, sigma0
+    )
+    st_k, tr_k = jax.jit(pallas_bsp_solve(env, T, nb_iter=it))(mu0, sigma0)
+    np.testing.assert_allclose(
+        np.asarray(tr_k), np.asarray(tr_r), rtol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_k.uref), np.asarray(st_r.uref), rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_k.bref_mu), np.asarray(st_r.bref_mu), rtol=1e-3,
+        atol=1e-4,
+    )
+
+
+@requires_tpu
+def test_pallas_bsp_episode_kernel_on_device():
+    """Single-launch belief-MPC episode kernel vs the plane-math twin."""
+    from trajopt_tpu.core.pallas_bsp import (
+        pallas_bsp_episode,
+        run_bsp_episode_planes,
+    )
+
+    env = trajopt_tpu.make("LightDark-TO-v0")
+    T, nsteps, it = 10, 6, 3
+    rng = np.random.default_rng(7)
+    x0 = jnp.asarray(np.array(env.reset_state()), jnp.float32)
+    eps0 = jnp.asarray(rng.standard_normal(env.obs_dim), jnp.float32)
+    eps_dyn = jnp.asarray(
+        rng.standard_normal((nsteps, env.state_dim)), jnp.float32
+    )
+    eps_obs = jnp.asarray(
+        rng.standard_normal((nsteps, env.obs_dim)), jnp.float32
+    )
+
+    ref = jax.jit(run_bsp_episode_planes(env, T, nsteps, nb_iter=it))(
+        x0, eps0, eps_dyn, eps_obs
+    )
+    got = jax.jit(pallas_bsp_episode(env, T, nsteps, nb_iter=it))(
+        x0, eps0, eps_dyn, eps_obs
+    )
+    for name, a, b in zip(["xs", "mus", "sigmas", "us", "cs"], ref, got):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-3, err_msg=name
+        )

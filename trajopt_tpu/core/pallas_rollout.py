@@ -67,17 +67,20 @@ def tile_clip_state(env, x):
 
 def tile_dynamics(env, x, u):
     """env.dynamics on tiles: clip action, RK4 over ``_ode_parts``, clip state
-    (envs/base.py dynamics; reference pendulum.py:58-76)."""
+    (envs/base.py dynamics; reference pendulum.py:58-76).  Envs marked
+    ``rk4_backward_integration`` (Robot, robot.py:62-67) integrate with the
+    backward RK4 signs instead."""
     dt = float(env.dt)
+    sg = -1.0 if getattr(env, "rk4_backward_integration", False) else 1.0
     u = tile_clip_act(env, u)
     f = env._ode_parts
     n = len(x)
     k1 = f(x, u)
-    k2 = f([x[i] + (0.5 * dt) * k1[i] for i in range(n)], u)
-    k3 = f([x[i] + (0.5 * dt) * k2[i] for i in range(n)], u)
-    k4 = f([x[i] + dt * k3[i] for i in range(n)], u)
+    k2 = f([x[i] + sg * (0.5 * dt) * k1[i] for i in range(n)], u)
+    k3 = f([x[i] + sg * (0.5 * dt) * k2[i] for i in range(n)], u)
+    k4 = f([x[i] + sg * dt * k3[i] for i in range(n)], u)
     xn = [
-        x[i] + (dt / 6.0) * (k1[i] + 2.0 * k2[i] + 2.0 * k3[i] + k4[i])
+        x[i] + sg * (dt / 6.0) * (k1[i] + 2.0 * k2[i] + 2.0 * k3[i] + k4[i])
         for i in range(n)
     ]
     return tile_clip_state(env, xn)
@@ -87,7 +90,13 @@ def tile_cost(env, x, u, u_last, w):
     """env.cost on tiles.  The detached-Jacobian feature linearization of
     envs/base.py:100-113 evaluates to the plain feature cost at the expansion
     point, so the rollout stage cost is exactly
-    ``uᵀdiag(uw)u (or slew) + w·(z−g)ᵀdiag(gw)(z−g)`` with z = features(x)."""
+    ``uᵀdiag(uw)u (or slew) + w·(z−g)ᵀdiag(gw)(z−g)`` with z = features(x).
+    Envs that override ``cost`` supply the matching ``cost_parts`` twin
+    (e.g. Robot's dt-scaled cost, robot.py:70-76)."""
+    from ..envs.base import TrajEnv
+
+    if type(env).cost is not TrajEnv.cost:
+        return env.cost_parts(x, u, u_last, w)
     uw = tuple(float(v) for v in env.uw)
     if env.slew_rate:
         c = sum(uw[j] * (u[j] - u_last[j]) ** 2 for j in range(len(u)))

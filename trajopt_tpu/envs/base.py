@@ -108,15 +108,29 @@ class TrajEnv:
         """Component-wise ``features`` (identity by default)."""
         return tuple(x[i] for i in range(self.dm_state))
 
+    # Envs whose ``dynamics`` integrates with backward RK4 signs (Robot,
+    # robot.py:62-67) set this class attribute so the tile kernels pick the
+    # matching integrator.  Plain class attr, not a dataclass field.
+    rk4_backward_integration = False
+
+    def cost_parts(self, x, u, u_last, w):
+        """``cost`` on tiles — only needed by envs that override ``cost``
+        away from the standard uᵀdiag(uw)u/slew + w·feature-goal form (the
+        tile kernels evaluate that form directly otherwise)."""
+        raise NotImplementedError(
+            f"{type(self).__name__} does not define a tile-level cost"
+        )
+
     @property
     def supports_tiles(self) -> bool:
         """True when the env opts into the tile-level protocol.
 
         Defining ``_ode_parts`` is the opt-in, but the tile kernels also
-        consume ``features_parts``/``_periodic_parts`` (identity by default) —
-        an env that overrides ``features``/``_periodic_state`` without the
-        matching parts form would silently cost trajectories on the wrong
-        features, so such envs are NOT tile-eligible."""
+        consume ``features_parts``/``_periodic_parts`` (identity by default)
+        and the standard cost form — an env that overrides ``features``/
+        ``_periodic_state``/``cost`` without the matching parts form would
+        silently cost trajectories wrongly, so such envs are NOT
+        tile-eligible."""
         cls = type(self)
         if cls._ode_parts is TrajEnv._ode_parts:
             return False
@@ -126,7 +140,18 @@ class TrajEnv:
         if (cls._periodic_state is not TrajEnv._periodic_state
                 and cls._periodic_parts is TrajEnv._periodic_parts):
             return False
+        if (cls.cost is not TrajEnv.cost
+                and cls.cost_parts is TrajEnv.cost_parts):
+            return False
         return True
+
+    @property
+    def supports_tile_quadratization(self) -> bool:
+        """True when the closed-form eLQR cost quadratization applies: tile
+        protocol + the base detached-feature-Jacobian cost (a ``cost_parts``
+        twin is enough for rollouts, but the in-kernel eLQR quadratizer
+        hardcodes the base cost structure)."""
+        return self.supports_tiles and type(self).cost is TrajEnv.cost
 
     # -- core protocol -----------------------------------------------------------
     def dynamics(self, x: Array, u: Array) -> Array:
@@ -227,6 +252,98 @@ class BeliefEnv:
         xn = jax.random.multivariate_normal(k1, self.dynamics(x, u), self.dyn_noise(x, u))
         obs = jax.random.multivariate_normal(k2, self.observe(xn), self.obs_noise(xn))
         return xn, obs
+
+    # -- tile-level protocol (belief-space Pallas kernels) -------------------------
+    # Mirrors TrajEnv's ``_ode_parts`` opt-in: every method below takes/returns
+    # *lists of (sublane, lane) tiles* per component so the fused belief-MPC
+    # kernel (core/pallas_bsp.py) can run physics, observation models and costs
+    # as straight-line VPU code.  Parity with the array methods is pinned in
+    # tests/test_pallas_bsp.py.
+
+    def _ode_parts(self, x, u) -> tuple:
+        raise NotImplementedError(
+            f"{type(self).__name__} does not define component-wise dynamics"
+        )
+
+    def dynamics_parts(self, x, u):
+        """``dynamics`` on tiles: clip action, RK4 over ``_ode_parts``, clip
+        state (the BeliefEnv.dynamics default above).  Envs with closed-form
+        dynamics (LightDark) override this directly."""
+        dt = float(self.dt)
+        u = [
+            uj if float(self.umax[j]) == float("inf")
+            else jnp.clip(uj, -float(self.umax[j]), float(self.umax[j]))
+            for j, uj in enumerate(u)
+        ]
+        f = self._ode_parts
+        n = len(x)
+        k1 = f(x, u)
+        k2 = f([x[i] + (0.5 * dt) * k1[i] for i in range(n)], u)
+        k3 = f([x[i] + (0.5 * dt) * k2[i] for i in range(n)], u)
+        k4 = f([x[i] + dt * k3[i] for i in range(n)], u)
+        xn = [
+            x[i] + (dt / 6.0) * (k1[i] + 2.0 * k2[i] + 2.0 * k3[i] + k4[i])
+            for i in range(n)
+        ]
+        return [
+            xi if float(self.xmax[i]) == float("inf")
+            else jnp.clip(xi, -float(self.xmax[i]), float(self.xmax[i]))
+            for i, xi in enumerate(xn)
+        ]
+
+    def observe_parts(self, x):
+        """``observe`` on tiles (identity default)."""
+        return [x[i] for i in range(self.obs_dim)]
+
+    def dyn_noise_parts(self, x, u):
+        """``dyn_noise`` on tiles — scaled-identity default built from the
+        dataclass field (NOT the jnp property, which would be a tracer under
+        jit); entries may be python floats, tile code broadcasts them."""
+        s = float(self.dyn_sigma_scale)
+        d = self.state_dim
+        return [[s if i == j else 0.0 for j in range(d)] for i in range(d)]
+
+    def obs_noise_parts(self, x):
+        """``obs_noise`` on tiles — scaled-identity default; state-dependent
+        envs (LightDark, Car) override."""
+        s = float(self.obs_sigma_scale)
+        d = self.obs_dim
+        return [[s if i == j else 0.0 for j in range(d)] for i in range(d)]
+
+    def belief_cost_parts(self, mu, sigma, u):
+        """``cost`` on tiles: the quadratic belief cost shared by the reference
+        belief envs, (μ−g)ᵀdiag(μw)(μ−g) + tr(diag(Σw)·Σ) + uᵀdiag(Rw)u
+        (lightdark.py:76-79, car.py:95-99).  ``sigma`` is the row-major flat
+        list of b·b tiles."""
+        g = tuple(float(v) for v in self.goal)
+        mw = tuple(float(v) for v in self.mu_w)
+        sw = tuple(float(v) for v in self.sigma_w)
+        aw = tuple(float(v) for v in self.act_w)
+        b = self.belief_dim
+        return (
+            sum(mw[i] * (mu[i] - g[i]) ** 2 for i in range(b))
+            + sum(sw[i] * sigma[i * b + i] for i in range(b))
+            + sum(aw[j] * u[j] * u[j] for j in range(len(u)))
+        )
+
+    @property
+    def supports_belief_tiles(self) -> bool:
+        """True when the env opts into the belief tile protocol: tile dynamics
+        exist, and every overridden array method has its parts twin."""
+        cls = type(self)
+        if (cls.dynamics_parts is BeliefEnv.dynamics_parts
+                and cls._ode_parts is BeliefEnv._ode_parts):
+            return False
+        if (cls.observe is not BeliefEnv.observe
+                and cls.observe_parts is BeliefEnv.observe_parts):
+            return False
+        if (cls.obs_noise is not BeliefEnv.obs_noise
+                and cls.obs_noise_parts is BeliefEnv.obs_noise_parts):
+            return False
+        if (cls.dyn_noise is not BeliefEnv.dyn_noise
+                and cls.dyn_noise_parts is BeliefEnv.dyn_noise_parts):
+            return False
+        return True
 
 
 # ---------------------------------------------------------------------------------

@@ -80,5 +80,22 @@ class Car(BeliefEnv):
     def reset_state(self) -> Array:
         return jnp.array([0.0, 4.0, 0.0, 0.0])
 
+    # -- tile-level protocol (core/pallas_bsp.py) ---------------------------------
+    def _ode_parts(self, x, u):
+        L = float(self.length)
+        return (
+            x[3] * jnp.cos(x[2]),
+            x[3] * jnp.sin(x[2]),
+            x[3] * jnp.tan(u[1]) / L,
+            u[0],
+        )
+
+    def observe_parts(self, x):
+        return [x[0], x[1]]
+
+    def obs_noise_parts(self, x):
+        s = float(self.obs_sigma_scale)
+        return [[s + 0.5 * (5.0 - x[0]) ** 2, 0.0], [0.0, s]]
+
 
 register("Car-TO-v0", Car)

@@ -114,7 +114,10 @@ class DoubleCartpole(TrajEnv):
     def sigma0(self):
         return self.sigma0_scale * jnp.eye(self.dm_state)
 
-    def _ode(self, x: Array, u: Array) -> Array:
+    def _ode_parts(self, x, u) -> tuple:
+        """Component-wise manipulator equations with a closed-form symmetric
+        3×3 solve in place of ``jnp.linalg.solve`` — tile-eligible and
+        identical math (double_cartpole.py:61-155)."""
         g = 9.81
         Mc, Mp1, Mp2 = 0.37, 0.127, 0.127
         Mt = Mc + Mp1 + Mp2
@@ -135,26 +138,36 @@ class DoubleCartpole(TrajEnv):
         Mp2_l2 = Mp2 * l2
         l1_l2_Mp2 = L1 * l2 * Mp2
 
-        M = jnp.array(
-            [
-                [Mt, l1_mp1_mp2 * c1, Mp2_l2 * c2],
-                [l1_mp1_mp2 * c1, l1**2 * Mp1 + L1**2 * Mp2 + J1, l1_l2_Mp2 * cdth],
-                [Mp2_l2 * c2, l1_l2_Mp2 * cdth, l2**2 * Mp2 + J2],
-            ]
-        )
-        C = jnp.array(
-            [
-                [0.0, -l1_mp1_mp2 * dth1 * s1, -Mp2_l2 * dth2 * s2],
-                [0.0, 0.0, l1_l2_Mp2 * dth2 * sdth],
-                [0.0, -l1_l2_Mp2 * dth1 * sdth, 0.0],
-            ]
-        )
-        G = jnp.array([0.0, -(Mp1 * l1 + Mp2 * L1) * g * s1, -Mp2 * l2 * g * s2])
+        # symmetric mass matrix entries
+        m00 = Mt + 0.0 * c1  # broadcast to tile shape
+        m01 = l1_mp1_mp2 * c1
+        m02 = Mp2_l2 * c2
+        m11 = l1**2 * Mp1 + L1**2 * Mp2 + J1 + 0.0 * c1
+        m12 = l1_l2_Mp2 * cdth
+        m22 = l2**2 * Mp2 + J2 + 0.0 * c1
 
-        action = jnp.array([u[0], 0.0, 0.0])
-        dxs = jnp.stack([dq, dth1, dth2])
-        dd = jnp.linalg.solve(M, action - C @ dxs - G)
-        return jnp.concatenate([dxs, dd])
+        # rhs = action − C q̇ − G
+        b0 = u[0] - (-l1_mp1_mp2 * dth1 * s1 * dth1 - Mp2_l2 * dth2 * s2 * dth2)
+        b1 = -(l1_l2_Mp2 * dth2 * sdth * dth2) + (Mp1 * l1 + Mp2 * L1) * g * s1
+        b2 = -(-l1_l2_Mp2 * dth1 * sdth * dth1) + Mp2 * l2 * g * s2
+
+        # adjugate solve of the symmetric 3×3 system
+        a00 = m11 * m22 - m12 * m12
+        a01 = m02 * m12 - m01 * m22
+        a02 = m01 * m12 - m02 * m11
+        a11 = m00 * m22 - m02 * m02
+        a12 = m01 * m02 - m00 * m12
+        a22 = m00 * m11 - m01 * m01
+        det = m00 * a00 + m01 * a01 + m02 * a02
+        dd0 = (a00 * b0 + a01 * b1 + a02 * b2) / det
+        dd1 = (a01 * b0 + a11 * b1 + a12 * b2) / det
+        dd2 = (a02 * b0 + a12 * b1 + a22 * b2) / det
+        return (dq, dth1, dth2, dd0, dd1, dd2)
+
+    def _periodic_parts(self, x) -> tuple:
+        if self.periodic:
+            return (x[0], wrap_angle(x[1]), wrap_angle(x[2]), x[3], x[4], x[5])
+        return tuple(x[i] for i in range(6))
 
     def _periodic_state(self, x: Array) -> Array:
         if self.periodic:
@@ -176,6 +189,10 @@ class DoubleCartpoleWithCartesianCost(DoubleCartpole):
 
     g: tuple = (0.0, 1.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0)
     gw: tuple = (1e1, 1e4, 1e4, 1e4, 1e4, 1e0, 1e0, 1e0)
+
+    def features_parts(self, x) -> tuple:
+        return (x[0], jnp.cos(x[1]), jnp.sin(x[1]), jnp.cos(x[2]),
+                jnp.sin(x[2]), x[3], x[4], x[5])
 
     def features(self, x: Array) -> Array:
         return jnp.stack(

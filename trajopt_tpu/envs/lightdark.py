@@ -74,5 +74,27 @@ class LightDark(BeliefEnv):
     def reset_state(self) -> Array:
         return jnp.array([2.5, 0.0])
 
+    # -- tile-level protocol (core/pallas_bsp.py) ---------------------------------
+    def dynamics_parts(self, x, u):
+        """``dynamics`` on tiles: clipped single integrator (lightdark.py:56-60)."""
+        # umax is inf here, but mirror clip_act for parameter overrides
+        u = [
+            uj if float(self.umax[j]) == float("inf")
+            else jnp.clip(uj, -float(self.umax[j]), float(self.umax[j]))
+            for j, uj in enumerate(u)
+        ]
+        dt = float(self.dt)
+        return [
+            jnp.clip(x[i] + dt * u[i], -float(self.xmax[i]), float(self.xmax[i]))
+            for i in range(self.state_dim)
+        ]
+
+    def observe_parts(self, x):
+        return [x[0], x[1]]
+
+    def obs_noise_parts(self, x):
+        s = float(self.obs_sigma_scale)
+        return [[s + 0.5 * (5.0 - x[0]) ** 2, 0.0], [0.0, s]]
+
 
 register("LightDark-TO-v0", LightDark)

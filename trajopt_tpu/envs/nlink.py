@@ -88,6 +88,93 @@ def nlink_ode(x: Array, u: Array, masses, lengths, friction, g: float = 9.81) ->
     return jnp.concatenate([dq, ddq])
 
 
+def _chain_energies_parts(q, dq, masses, lengths, g: float):
+    """Tile twin of :func:`_chain_energies`: the same kinetic/potential energy
+    with the cumsums unrolled as running sums over components."""
+    n = len(masses)
+    m = tuple(float(v) for v in masses)
+    l = tuple(float(v) for v in lengths)
+    inertias = tuple(mi * (li**2 + 1e-4) / 3.0 for mi, li in zip(m, l))
+
+    alpha, dalpha = [], []
+    ra, rda = None, None
+    for i in range(n):
+        ra = q[i] if i == 0 else ra + q[i]
+        rda = dq[i] if i == 0 else rda + dq[i]
+        alpha.append(jnp.pi + ra)
+        dalpha.append(rda)
+
+    seg_y = [-l[i] * jnp.cos(alpha[i]) for i in range(n)]
+    jvx = [None] * n
+    jvy = [None] * n
+    for i in range(n):
+        vx = l[i] * jnp.cos(alpha[i]) * dalpha[i]
+        vy = l[i] * jnp.sin(alpha[i]) * dalpha[i]
+        jvx[i] = vx if i == 0 else jvx[i - 1] + vx
+        jvy[i] = vy if i == 0 else jvy[i - 1] + vy
+
+    T = 0.0
+    V = 0.0
+    run_y = 0.0
+    for i in range(n):
+        com_y = run_y + 0.5 * seg_y[i]
+        run_y = run_y + seg_y[i]
+        base_vx = 0.0 if i == 0 else jvx[i - 1]
+        base_vy = 0.0 if i == 0 else jvy[i - 1]
+        com_vx = base_vx + 0.5 * l[i] * jnp.cos(alpha[i]) * dalpha[i]
+        com_vy = base_vy + 0.5 * l[i] * jnp.sin(alpha[i]) * dalpha[i]
+        T = T + 0.5 * m[i] * (com_vx**2 + com_vy**2) \
+            + 0.5 * inertias[i] * dalpha[i] ** 2
+        V = V + g * m[i] * com_y
+    return T, V
+
+
+def nlink_ode_parts(x, u, masses, lengths, friction, g: float = 9.81):
+    """Tile twin of :func:`nlink_ode`: the Euler-Lagrange q̈ generated from the
+    same Lagrangian by forward-mode columns (``jax.jvp`` on straight-line tile
+    code) with an unrolled Gauss–Jordan mass-matrix solve — eligible for the
+    lane-major Pallas kernels (VERDICT r3 item 5)."""
+    from ..core.pscan_lqr import _gj_inv, _lmv
+
+    n = len(masses)
+    q = [x[i] for i in range(n)]
+    dq = [x[n + i] for i in range(n)]
+    ones = jnp.ones_like(x[0])
+    zeros = jnp.zeros_like(x[0])
+
+    def lagrangian(q_, dq_):
+        T, V = _chain_energies_parts(q_, dq_, masses, lengths, g)
+        return T - V
+
+    def momentum(q_, dq_):
+        cols = []
+        for k in range(n):
+            seed = [ones if i == k else zeros for i in range(n)]
+            _, t = jax.jvp(lambda d: lagrangian(q_, d), (list(dq_),), (seed,))
+            cols.append(t)
+        return cols
+
+    # mass matrix M[i][j] = ∂p_i/∂dq_j, one jvp column at a time
+    M = [[None] * n for _ in range(n)]
+    for j in range(n):
+        seed = [ones if i == j else zeros for i in range(n)]
+        _, col = jax.jvp(lambda d: momentum(q, d), (list(dq),), (seed,))
+        for i in range(n):
+            M[i][j] = col[i]
+
+    _, dp_dq_dq = jax.jvp(lambda q_: momentum(q_, dq), (list(q),), (list(dq),))
+    dL_dq = []
+    for k in range(n):
+        seed = [ones if i == k else zeros for i in range(n)]
+        _, t = jax.jvp(lambda q_: lagrangian(q_, dq), (list(q),), (seed,))
+        dL_dq.append(t)
+
+    fr = tuple(float(v) for v in friction)
+    rhs = [u[i] - fr[i] * dq[i] - (dp_dq_dq[i] - dL_dq[i]) for i in range(n)]
+    ddq = _lmv(_gj_inv(M), rhs)
+    return tuple(dq) + tuple(ddq)
+
+
 @dataclass(frozen=True)
 class DoublePendulum(TrajEnv):
     """Two-link chain (envs/double_pendulum/double_pendulum.py:15-175)."""
@@ -124,6 +211,9 @@ class DoublePendulum(TrajEnv):
     def _ode(self, x: Array, u: Array) -> Array:
         return nlink_ode(x, u, self.masses, self.lengths, self.friction)
 
+    def _ode_parts(self, x, u) -> tuple:
+        return nlink_ode_parts(x, u, self.masses, self.lengths, self.friction)
+
 
 @dataclass(frozen=True)
 class DoublePendulumWithCartesianCost(DoublePendulum):
@@ -131,6 +221,10 @@ class DoublePendulumWithCartesianCost(DoublePendulum):
 
     g: tuple = (1.0, 0.0, 1.0, 0.0, 0.0, 0.0)
     gw: tuple = (1e4, 1e4, 1e4, 1e4, 1e0, 1e0)
+
+    def features_parts(self, x) -> tuple:
+        return (jnp.cos(x[0]), jnp.sin(x[0]), jnp.cos(x[1]), jnp.sin(x[1]),
+                x[2], x[3])
 
     def features(self, x: Array) -> Array:
         return jnp.stack(
@@ -174,6 +268,9 @@ class QuadPendulum(TrajEnv):
     def _ode(self, x: Array, u: Array) -> Array:
         return nlink_ode(x, u, self.masses, self.lengths, self.friction)
 
+    def _ode_parts(self, x, u) -> tuple:
+        return nlink_ode_parts(x, u, self.masses, self.lengths, self.friction)
+
 
 @dataclass(frozen=True)
 class QuadPendulumWithCartesianCost(QuadPendulum):
@@ -181,6 +278,11 @@ class QuadPendulumWithCartesianCost(QuadPendulum):
 
     g: tuple = (1.0, 0.0, 1.0, 0.0, 1.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0)
     gw: tuple = (1e4,) * 8 + (1e0,) * 4
+
+    def features_parts(self, x) -> tuple:
+        return (jnp.cos(x[0]), jnp.sin(x[0]), jnp.cos(x[1]), jnp.sin(x[1]),
+                jnp.cos(x[2]), jnp.sin(x[2]), jnp.cos(x[3]), jnp.sin(x[3]),
+                x[4], x[5], x[6], x[7])
 
     def features(self, x: Array) -> Array:
         return jnp.concatenate(

@@ -67,5 +67,29 @@ class Robot(TrajEnv):
         c = c + a * (x - g) @ jnp.diag(jnp.asarray(self.gw)) @ (x - g)
         return self.dt * c
 
+    # -- tile-level protocol ------------------------------------------------------
+    rk4_backward_integration = True  # forward dynamics use backward RK4 signs
+
+    def _ode_parts(self, x, u) -> tuple:
+        L = float(self.length)
+        return (
+            x[3] * jnp.cos(x[2]),
+            x[3] * jnp.sin(x[2]),
+            x[3] * jnp.tan(u[1]) / L,
+            u[0],
+        )
+
+    def cost_parts(self, x, u, u_last, w):
+        """Tile twin of the dt-scaled robot cost above (robot.py:70-76)."""
+        dt = float(self.dt)
+        uw = tuple(float(v) for v in self.uw)
+        g = tuple(float(v) for v in self.g)
+        gw = tuple(float(v) for v in self.gw)
+        c = sum(uw[j] * u[j] * u[j] for j in range(len(u)))
+        c = c + w * sum(
+            gw[i] * (x[i] - g[i]) ** 2 for i in range(len(x))
+        )
+        return dt * c
+
 
 register("Robot-TO-v0", Robot)

@@ -483,6 +483,8 @@ def make_bsp_mpc_runner(
     nb_steps: int,
     nb_iter: int = 25,
     belief_filter: str = "joseph",
+    engine: str = "auto",
+    interpret: bool = False,
     **bsp_kwargs,
 ):
     """EKF-in-the-loop belief-MPC as one compiled program — the device-native
@@ -498,10 +500,33 @@ def make_bsp_mpc_runner(
     QR-array updates (core/sqrt_ekf.py) — PSD by construction, no jitters, the
     preferred form in f32 on TPU.  Both return dense covariances to the caller.
 
+    ``engine`` selects the replan machinery: ``"scan"`` scans the per-step
+    compiled solver (each control step is ~500 sequential dispatch groups of
+    tiny ops — dispatch-latency-bound, BASELINE.md); ``"pallas"`` runs the
+    ENTIRE episode as ONE Pallas launch (core/pallas_bsp.py: λ-ladder backward
+    on lanes, α-grid rollouts on lanes, EKF in-kernel) — the batch-1 latency
+    path.  ``"auto"`` (default) picks pallas whenever it applies (belief-tile
+    env, joseph filter, dense value form, non-differentiable, TPU backend).
+
     ``run(key, x0) -> (xs, belief_mus, belief_sigmas, us, costs)``.
     """
     if belief_filter not in ("joseph", "sqrt"):
         raise ValueError(f"unknown belief_filter {belief_filter!r}")
+    if engine == "auto":
+        pallas_ok = (
+            getattr(env, "supports_belief_tiles", False)
+            and belief_filter == "joseph"
+            and bsp_kwargs.get("value_form", "dense") == "dense"
+            and not bsp_kwargs.get("differentiable", False)
+            and (interpret or jax.default_backend() == "tpu")
+        )
+        engine = "pallas" if pallas_ok else "scan"
+    if engine == "pallas":
+        return _make_bsp_mpc_runner_pallas(
+            env, horizon, nb_steps, nb_iter, interpret, **bsp_kwargs
+        )
+    if engine != "scan":
+        raise ValueError(f"unknown engine {engine!r}")
     solve = make_bsp_solver(env, horizon, nb_iter=nb_iter, **bsp_kwargs)
     du = env.act_dim
     if belief_filter == "sqrt":
@@ -551,6 +576,32 @@ def make_bsp_mpc_runner(
     return run
 
 
+def _make_bsp_mpc_runner_pallas(env, horizon, nb_steps, nb_iter, interpret,
+                                **bsp_kwargs):
+    """Single-launch episode runner (core/pallas_bsp.pallas_bsp_episode): draw
+    the standard normals for every true-system/observation sample up front and
+    hand the whole control loop to the kernel.  Same ``run(key, x0)`` contract
+    and noise distribution as the scan runner (mean + chol(cov)·ε in-kernel)."""
+    for k in ("value_form", "differentiable"):
+        bsp_kwargs.pop(k, None)
+    from ..core.pallas_bsp import pallas_bsp_episode
+
+    ep = pallas_bsp_episode(
+        env, horizon, nb_steps, nb_iter=nb_iter, interpret=interpret,
+        **bsp_kwargs,
+    )
+    ds, do = env.state_dim, env.obs_dim
+
+    def run(key: Array, x0: Array):
+        k0, kd, ko = jax.random.split(key, 3)
+        eps0 = jax.random.normal(k0, (do,), x0.dtype)
+        eps_dyn = jax.random.normal(kd, (nb_steps, ds), x0.dtype)
+        eps_obs = jax.random.normal(ko, (nb_steps, do), x0.dtype)
+        return ep(x0, eps0, eps_dyn, eps_obs)
+
+    return run
+
+
 def run_bsp_mpc_batch(
     env,
     key: Array,
@@ -563,6 +614,9 @@ def run_bsp_mpc_batch(
     **bsp_kwargs,
 ):
     """Batch of belief-MPC episodes, vmapped and (optionally) mesh-sharded."""
+    # batch throughput rides the vmapped scan runner; the pallas episode kernel
+    # is the batch-1 latency path (vmap over it is untested)
+    bsp_kwargs.setdefault("engine", "scan")
     run = make_bsp_mpc_runner(env, horizon, nb_steps, nb_iter=nb_iter, **bsp_kwargs)
 
     keys = jax.random.split(key, nb_episodes)

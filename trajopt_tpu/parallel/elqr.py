@@ -65,7 +65,7 @@ def make_elqr_solver_batched(
     env,
     nb_steps: int,
     nb_iter: int = 10,
-    engine: str = "scan",
+    engine: str = "auto",
     time_chunk: int | None = None,
     interpret: bool = False,
     mesh=None,
@@ -79,11 +79,22 @@ def make_elqr_solver_batched(
     chains).  ``engine='pallas'`` runs each sweep as ONE lane-major Pallas
     launch with in-kernel linearization (core/pallas_elqr.py) — three launches
     per iteration for the whole batch, the eLQR analogue of the packed iLQR/GPS
-    engines.  Needs a tile-protocol env.
+    engines.  Needs a tile-protocol env.  ``engine='auto'`` (default) picks the
+    Pallas engine whenever it applies — tile-protocol env, no slew-rate cost,
+    and a TPU backend (or ``interpret=True``) — and falls back to scan
+    otherwise, so the fast path is the default rather than an opt-in
+    (VERDICT r3 item 2).
 
     ``mesh`` block-shards the problem axis: each device runs its own sweep
     launches on its shard (the dp axis of SURVEY §2.4; the reference has no
     batched eLQR at all)."""
+    if engine == "auto":
+        tile_ok = (
+            getattr(env, "supports_tile_quadratization", False)
+            and not getattr(env, "slew_rate", False)
+        )
+        backend_ok = interpret or jax.default_backend() == "tpu"
+        engine = "pallas" if (tile_ok and backend_ok) else "scan"
     def _maybe_shard(solve):
         if mesh is None:
             return solve
@@ -109,10 +120,11 @@ def make_elqr_solver_batched(
 
     if engine != "pallas":
         raise ValueError(f"unknown engine {engine!r}")
-    if not getattr(env, "supports_tiles", False):
+    if not getattr(env, "supports_tile_quadratization", False):
         raise ValueError(
-            "engine='pallas' needs a tile-protocol env (_ode_parts); "
-            f"{type(env).__name__} does not define one"
+            "engine='pallas' needs a tile-protocol env (_ode_parts) with the "
+            "base feature-goal cost (the in-kernel quadratizer hardcodes it); "
+            f"{type(env).__name__} does not qualify"
         )
     if getattr(env, "slew_rate", False):
         raise ValueError("engine='pallas' does not support slew-rate costs")

@@ -316,12 +316,6 @@ def make_ilqr_solver_batched(
             "differentiable=True requires backward='scan' and rollout='scan' "
             "(the Pallas kernels define no VJP)"
         )
-    if fast_line_search and rollout == "pallas":
-        raise ValueError(
-            "fast_line_search=True is incompatible with rollout='pallas' "
-            "(the fused phase-A kernel already evaluates the whole α-grid in "
-            "one launch — the two-phase shortcut would be a no-op)"
-        )
 
     def expand(xref, uref):
         A, B = linearize_dynamics_delta(env.dynamics, xref[:T], uref)
@@ -469,27 +463,64 @@ def make_ilqr_solver_batched(
         rtc = pick_time_chunk(T)
         alphas_t = tuple(float(a) for a in np.asarray(alphas))
 
+        def _pack_for_rollout(packed_gains, K_n, kff_n, xref, uref):
+            n_pad = lane_pad(xref.shape[0])
+            if packed_gains is None:
+                return pack_rollout(K_n, kff_n, xref, uref)
+            return {
+                "K": packed_gains[0], "kff": packed_gains[1],
+                "xref": _to_lanes(xref[:, :T], n_pad),
+                "uref": _to_lanes(uref, n_pad),
+            }
+
+        def _phaseA(pk, N, grid):
+            ret_l, ok_l = pallas_rollout_returns(
+                env, pk, weighting, grid, time_chunk=rtc, interpret=interpret,
+            )
+            returns = jnp.transpose(ret_l.reshape(len(grid), -1))[:N]
+            oks = jnp.transpose(ok_l.reshape(len(grid), -1))[:N] > 0
+            return returns, oks
+
         def pallas_line_search(packed_gains, K_n, kff_n, xref, uref):
             """Phase A (all-α returns) → lane-space glue happens in the caller;
             here just pack + return the lane-major returns/flags and the packed
             operands phase B will reuse."""
             N = xref.shape[0]
-            n_pad = lane_pad(N)
-            if packed_gains is None:
-                pk = pack_rollout(K_n, kff_n, xref, uref)
-            else:
-                pk = {
-                    "K": packed_gains[0], "kff": packed_gains[1],
-                    "xref": _to_lanes(xref[:, :T], n_pad),
-                    "uref": _to_lanes(uref, n_pad),
-                }
-            ret_l, ok_l = pallas_rollout_returns(
-                env, pk, weighting, alphas_t, time_chunk=rtc,
-                interpret=interpret,
-            )
-            returns = jnp.transpose(ret_l.reshape(len(alphas_t), -1))[:N]
-            oks = jnp.transpose(ok_l.reshape(len(alphas_t), -1))[:N] > 0
+            pk = _pack_for_rollout(packed_gains, K_n, kff_n, xref, uref)
+            returns, oks = _phaseA(pk, N, alphas_t)
             return pk, returns, oks
+
+        def pallas_line_search_fast(packed_gains, K_n, kff_n, dV,
+                                    backpass_done, state):
+            """Two-phase fused line search (the warm-MPC shortcut of
+            ``line_search`` on the Pallas path, VERDICT r3 item 8): a
+            1-candidate phase-A kernel rolls only α = alphas[0]; when every
+            live instance accepts it, the 11-candidate sweep is skipped via a
+            batch-wide ``lax.cond`` (unused α slots filled with +inf returns,
+            which the first-acceptable argmax can never pick)."""
+            N = state.lmbda.shape[0]
+            nA = alphas.shape[0]
+            pk = _pack_for_rollout(
+                packed_gains, K_n, kff_n, state.xref, state.uref
+            )
+            ret1, _ = _phaseA(pk, N, (alphas_t[0],))
+            ret1 = ret1[:, 0]
+            dret1 = state.last_return - ret1
+            exp1 = -1.0 * alphas[0] * (dV[:, 0] + alphas[0] * dV[:, 1])
+            imp1 = dret1 / exp1
+            ok1 = (imp1 >= min_imp) & backpass_done & jnp.isfinite(ret1)
+
+            def fast(_):
+                return jnp.concatenate(
+                    [ret1[:, None],
+                     jnp.full((N, nA - 1), jnp.inf, ret1.dtype)], axis=1,
+                )
+
+            def slow(_):
+                return _phaseA(pk, N, alphas_t)[0]
+
+            all_fast = jnp.all(ok1 | state.done)
+            return pk, lax.cond(all_fast, fast, slow, None)
 
         def pallas_select(pk, alpha_sel, N):
             alpha_l = pack_scalar(alpha_sel, lane_pad(N))
@@ -578,9 +609,14 @@ def make_ilqr_solver_batched(
         grad_done = (g_norm < tolgrad) & (lmbda < 1e-5)
 
         if rollout == "pallas":
-            pk, returns, _ = pallas_line_search(
-                packed_gains, K_n, kff_n, state.xref, state.uref
-            )
+            if fast_line_search:
+                pk, returns = pallas_line_search_fast(
+                    packed_gains, K_n, kff_n, dV, backpass_done, state
+                )
+            else:
+                pk, returns, _ = pallas_line_search(
+                    packed_gains, K_n, kff_n, state.xref, state.uref
+                )
         else:
             if fast_line_search:
                 states_all, actions_all, costs_all = line_search(

@@ -64,6 +64,8 @@ def load():
     lib.bsp_backward_bench.argtypes = (
         [dp] * 14 + [ctypes.c_double, ci, ci, ci, ci, ci] + [dp] * 3
     )
+    lib.bsp_mpc_step_bench.restype = ctypes.c_double
+    lib.bsp_mpc_step_bench.argtypes = [ci, ci, ci]
     return lib
 
 
@@ -225,6 +227,14 @@ def bench_bsp_backward_native(cost, dyn, lmbda=0.0, reg=1, reps=10):
         *[_ptr(x) for x in arrs], ctypes.c_double(lmbda), reg, T, b, a, reps,
         _ptr(K), _ptr(kff), _ptr(dS),
     )
+
+
+def bench_bsp_mpc_step_native(T=25, nb_iter=10, reps=10):
+    """Time `reps` full belief-MPC control steps at light-dark dims — the
+    honest per-step CPU chain (FD expansion + λ-escalated backward + 11-α
+    rollouts + accept/reject, × nb_iter, + the closing EKF update); seconds."""
+    lib = load()
+    return lib.bsp_mpc_step_bench(T, nb_iter, reps)
 
 
 def bench_backward_native(Cxx, cx, Cuu, cu, Cxu, A, B, lmbda=0.0, reps=10):
