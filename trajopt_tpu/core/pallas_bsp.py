@@ -25,7 +25,9 @@ launch; within it every phase rides the 128 vector lanes:
 * **rollouts** (lanes = α): the 11 line-search candidates advance together
   through the nonlinear belief-EKF step.
 
-Every function here is pure plane math on ``(1, LANES)`` jnp arrays, so the
+Every function here is pure plane math on ``(SUB, LANES)`` jnp arrays
+(full canonical (8, 128) vregs — partial shapes acquire replicated Mosaic
+layouts inside loop carries that select_n cannot reconcile), so the
 SAME code runs (a) inside the Pallas kernels and (b) as a plain-jnp program for
 CPU parity tests (:func:`run_bsp_solve_planes`, :func:`run_bsp_episode_planes`)
 — the ``pallas_pscan`` testing recipe (its interpreter mode is pathological on
@@ -51,6 +53,7 @@ from ..solvers.common import DEFAULT_ALPHAS
 from .pscan_lqr import _lmm, _lmv, _lt
 
 LANES = 128
+SUB = 8  # full-vreg sublane rows: every plane is one canonical (8, 128) vreg
 _NL = 16  # λ-ladder width; covers λ: 0 → >1e6 in ≤13 trials (see _lam_ladder)
 
 
@@ -313,21 +316,30 @@ def _lam_ladder(lmbda, dlmbda, cfg):
 
 
 def _lane_iota(dtype=jnp.int32):
-    return lax.broadcasted_iota(dtype, (1, LANES), 1)
+    return lax.broadcasted_iota(dtype, (SUB, LANES), 1)
 
 
 def _scalars_to_lanes(vals, like):
     """Plane whose lane k holds the traced scalar vals[k] (k < len(vals))."""
     li = _lane_iota()
-    acc = jnp.zeros((1, LANES), like.dtype)
+    acc = jnp.zeros((SUB, LANES), like.dtype)
     for k, v in enumerate(vals):
         acc = jnp.where(li == k, v, acc)
     return acc
 
 
 def _ext(pl_, t):
-    """Lane-t value of a lanes=t plane as a broadcastable (1, 1) slice."""
-    return pl_[:, t:t + 1]
+    """Lane-t value of a lanes=t plane as a lane-REPLICATED (SUB, 1) value.
+
+    Implemented as a masked cross-lane sum rather than a slice: Mosaic marks
+    reduction outputs replicated, while a ``pl[:, t:t+1]`` slice is lane-0-
+    resident — such values demote every loop carry they touch to a
+    non-replicated layout, and a later ``select_n`` against replicated
+    constants then dies with "Invalid relayout" (observed in the episode
+    kernel; the masks are constants for the static t used everywhere here)."""
+    mask = _lane_iota() == t
+    return jnp.sum(jnp.where(mask, pl_, jnp.zeros_like(pl_)), axis=1,
+                   keepdims=True)
 
 
 def _pick(pl_, mask):
@@ -354,16 +366,16 @@ def _ladder_backward(cost_pl, dyn_pl, lam_plane, cfg, dtype):
     def evec(v, t):
         return [_ext(v[i], t) for i in range(len(v))]
 
-    zero = jnp.zeros((1, LANES), dtype)
-    one_t = jnp.ones((1, 1), dtype)
-    zero_t = jnp.zeros((1, 1), dtype)
+    zero = jnp.zeros((SUB, LANES), dtype)
+    one_t = jnp.ones((SUB, 1), dtype)
+    zero_t = jnp.zeros((SUB, 1), dtype)
 
     S = emat(Q_pl, T)
     s = evec(q_pl, T)
     tau = evec(p_pl, T)
     dS0 = zero
     dS1 = zero
-    bad = jnp.zeros((1, LANES), bool)
+    bad = jnp.zeros((SUB, LANES), bool)
 
     Kts = [None] * T
     kffts = [None] * T
@@ -418,7 +430,7 @@ def _ladder_backward(cost_pl, dyn_pl, lam_plane, cfg, dtype):
 
         L = _chol_t(_sym_t(D_reg), a)
         fin = [[jnp.isfinite(L[i][j]) for j in range(i + 1)] for i in range(a)]
-        step_ok = jnp.ones((1, LANES), bool)
+        step_ok = jnp.ones((SUB, LANES), bool)
         for i in range(a):
             for j in range(i + 1):
                 step_ok = step_ok & fin[i][j]
@@ -462,7 +474,7 @@ def _backward_with_lm_planes(cost_pl, dyn_pl, lmbda, dlmbda, cfg, dtype):
     (1, 1) planes."""
     T, b, a = cfg.T, cfg.b, cfg.a
     lams, dls = _lam_ladder(lmbda, dlmbda, cfg)
-    like = jnp.zeros((1, LANES), dtype)
+    like = jnp.zeros((SUB, LANES), dtype)
     lam_plane = _scalars_to_lanes(lams[:_NL], like)
     lamnext_plane = _scalars_to_lanes(lams[1:_NL + 1], like)
     dl_plane = _scalars_to_lanes(dls[:_NL], like)
@@ -488,8 +500,8 @@ def _backward_with_lm_planes(cost_pl, dyn_pl, lmbda, dlmbda, cfg, dtype):
     dl_out = jnp.where(diverged, _pick(dlnext_plane, mask), _pick(dl_plane, mask))
 
     lane_masks = [li == t for t in range(T)]
-    K_pl = [[jnp.zeros((1, LANES), dtype) for _ in range(b)] for _ in range(a)]
-    kff_pl = [jnp.zeros((1, LANES), dtype) for _ in range(a)]
+    K_pl = [[jnp.zeros((SUB, LANES), dtype) for _ in range(b)] for _ in range(a)]
+    kff_pl = [jnp.zeros((SUB, LANES), dtype) for _ in range(a)]
     for t in range(T):
         for j in range(a):
             kff_pl[j] = jnp.where(lane_masks[t], _pick(kffts[t][j], mask),
@@ -516,7 +528,7 @@ def _forward_all_planes(env, K_pl, kff_pl, mu0, sig0, bref_mu_pl, uref_pl,
     ``ret`` per-α returns, ``finite`` the init-rollout blow-up flag."""
     T, b, a = cfg.T, cfg.b, cfg.a
     nA = len(cfg.alphas)
-    like = jnp.zeros((1, LANES), dtype)
+    like = jnp.zeros((SUB, LANES), dtype)
     alpha_plane = _scalars_to_lanes(
         [jnp.asarray(al, dtype) for al in cfg.alphas], like
     )
@@ -524,7 +536,7 @@ def _forward_all_planes(env, K_pl, kff_pl, mu0, sig0, bref_mu_pl, uref_pl,
     mu = [m + like for m in mu0]
     sig = [sv + like for sv in sig0]
     ret = like
-    finite = jnp.ones((1, LANES), bool)
+    finite = jnp.ones((SUB, LANES), bool)
     store = [None] * (T + 1)
 
     for t in range(T):
@@ -562,9 +574,9 @@ def _transpose_store(store, mask_idx, cfg, dtype):
     T, b, a = cfg.T, cfg.b, cfg.a
     bb = b * b
     li = _lane_iota()
-    bref_mu = [jnp.zeros((1, LANES), dtype) for _ in range(b)]
-    bref_sig = [jnp.zeros((1, LANES), dtype) for _ in range(bb)]
-    uref = [jnp.zeros((1, LANES), dtype) for _ in range(a)]
+    bref_mu = [jnp.zeros((SUB, LANES), dtype) for _ in range(b)]
+    bref_sig = [jnp.zeros((SUB, LANES), dtype) for _ in range(bb)]
+    uref = [jnp.zeros((SUB, LANES), dtype) for _ in range(a)]
     for t in range(T + 1):
         m_t = li == t
         mus, sigs, us = store[t]
@@ -590,8 +602,12 @@ def _solve_core(env, mu0, sig0, kff0_pl, cfg, dtype):
     T, b, a = cfg.T, cfg.b, cfg.a
     nA = len(cfg.alphas)
     li = _lane_iota()
-    zero = jnp.zeros((1, LANES), dtype)
+    zero = jnp.zeros((SUB, LANES), dtype)
 
+    # NOTE on shapes: μ₀/Σ₀ enter as (SUB, 1) values — lane-broadcastable
+    # (Mosaic implements lane broadcast; (1, 1) values hit "Not implemented:
+    # Sublane broadcast" and (SUB, LANES) loop-carried values hit "Invalid
+    # relayout" when selected against replicated constants)
     if kff0_pl is None:
         kff0_pl = [zero for _ in range(a)]
     K0_pl = [[zero for _ in range(b)] for _ in range(a)]
@@ -611,16 +627,19 @@ def _solve_core(env, mu0, sig0, kff0_pl, cfg, dtype):
     bref_mu, bref_sig, uref = _transpose_store(store, mask0, cfg, dtype)
     last_return = _pick(ret, mask0)
 
-    one_t = jnp.ones((1, 1), dtype)
+    one_t = jnp.ones((SUB, 1), dtype)
     state = (
         bref_mu, bref_sig, uref, K0_pl, kff0_pl,
         cfg.lmbda * one_t, one_t, last_return,
-        jnp.zeros((1, 1), bool), zero,  # done, trace
+        # `done` carried as f32 0/1 — Mosaic cannot carry i1 vectors through
+        # scf.for (the fori_loop lowering); predicates are rebuilt by > 0.5
+        jnp.zeros((SUB, 1), dtype), zero,  # done, trace
     )
 
     def iteration(i, state):
         (bref_mu, bref_sig, uref, K_st, kff_st, lmbda, dlmbda,
-         last_return, done, trace) = state
+         last_return, done_f, trace) = state
+        done = done_f > 0.5
 
         cost_pl = tile_belief_cost_expansion(env, bref_mu, bref_sig, uref)
         dyn_pl = tile_belief_expansion(env, bref_mu, bref_sig, uref, dtype)
@@ -685,14 +704,20 @@ def _solve_core(env, mu0, sig0, kff0_pl, cfg, dtype):
             sel(lam_acc, lam_rej),
             sel(dl_acc, dl_rej),
             sel(ret_idx, last_return),
-            (grad_done | (take & (dret_idx < cfg.tolfun))
-             | (~any_ok & (lam_rej > cfg.max_lmbda))),
+        )
+        new_done = (
+            grad_done | (take & (dret_idx < cfg.tolfun))
+            | (~any_ok & (lam_rej > cfg.max_lmbda))
         )
         old = (bref_mu, bref_sig, uref, K_st, kff_st, lmbda, dlmbda,
-               last_return, done)
+               last_return)
+        # frozen instances keep their state; `done` (a float 0/1 carry) merges
+        # by max — identical to where(done, done, new_done) without an i1
+        # vector carry/select Mosaic cannot lower
         frozen = jax.tree.map(lambda o, n: jnp.where(done, o, n), old, new)
+        done_out = jnp.maximum(done_f, new_done.astype(dtype))
         trace = jnp.where(li == i, frozen[7], trace)
-        return (*frozen, trace)
+        return (*frozen, done_out, trace)
 
     state = lax.fori_loop(0, cfg.nb_iter, iteration, state)
     return state
@@ -776,11 +801,11 @@ def _episode_core(env, x0, eps0, eps_dyn, eps_obs, cfg, nb_steps, dtype,
     b, a, do = env.belief_dim, env.act_dim, env.obs_dim
     bb = b * b
     li = _lane_iota()
-    zero = jnp.zeros((1, LANES), dtype)
+    zero = jnp.zeros((SUB, LANES), dtype)
 
     mu0_vals, sig0_vals = init_belief
-    mu0 = [jnp.full((1, 1), mu0_vals[i], dtype) for i in range(b)]
-    sig0 = [jnp.full((1, 1), sig0_vals[i], dtype) for i in range(b * b)]
+    mu0 = [jnp.full((SUB, 1), mu0_vals[i], dtype) for i in range(b)]
+    sig0 = [jnp.full((SUB, 1), sig0_vals[i], dtype) for i in range(b * b)]
 
     obs0 = _noisy(list(env.observe_parts(x0)), env.obs_noise_parts(x0), eps0,
                   do)
@@ -816,7 +841,9 @@ def _episode_core(env, x0, eps0, eps_dyn, eps_obs, cfg, nb_steps, dtype,
         cs = jnp.where(m_s, c, cs)
         return xn, mu_n, cov_n, xs, mus, sigmas, us, cs
 
-    carry = (list(x0), mu_b, cov_b, xs, mus, sigmas, us, cs)
+    # the belief/state carries stay (SUB, 1) lane-broadcastable values (see
+    # the shape note in _solve_core)
+    carry = (list(x0), list(mu_b), list(cov_b), xs, mus, sigmas, us, cs)
     x, mu_b, cov_b, xs, mus, sigmas, us, cs = lax.fori_loop(
         0, nb_steps, step, carry
     )
@@ -862,7 +889,7 @@ def _unpack_state(env, out, cfg):
             lmbda=lam[0, 0],
             dlmbda=dlam[0, 0],
             last_return=last_ret[0, 0],
-            done=done[0, 0],
+            done=done[0, 0] > 0.5,  # float 0/1 carry (see _solve_core)
         ),
         trace[0, :cfg.nb_iter],
     )
@@ -877,8 +904,8 @@ def run_bsp_solve_planes(env, nb_steps, nb_iter=25, **kw):
     def solve(mu0: Array, sigma0: Array):
         dtype = mu0.dtype
         b = cfg.b
-        mu0_t = [mu0[i].reshape(1, 1) for i in range(b)]
-        sig0_t = [sigma0[i, j].reshape(1, 1) for i in range(b)
+        mu0_t = [mu0[i].reshape(1, 1) + jnp.zeros((SUB, 1), dtype) for i in range(b)]
+        sig0_t = [sigma0[i, j].reshape(1, 1) + jnp.zeros((SUB, 1), dtype) for i in range(b)
                   for j in range(b)]
         out = _solve_core(env, mu0_t, sig0_t, None, cfg, dtype)
         return _unpack_state(env, out, cfg)
@@ -909,11 +936,11 @@ def run_bsp_episode_planes(env, horizon, nb_steps, nb_iter=25, **kw):
 
     def run(x0, eps0, eps_dyn, eps_obs):
         dtype = x0.dtype
-        x0_t = [x0[i].reshape(1, 1) for i in range(b)]
-        eps0_t = [eps0[i].reshape(1, 1) for i in range(do)]
-        ed = [jnp.zeros((1, LANES), dtype).at[0, :nb_steps].set(eps_dyn[:, i])
+        x0_t = [x0[i].reshape(1, 1) + jnp.zeros((SUB, 1), dtype) for i in range(b)]
+        eps0_t = [eps0[i].reshape(1, 1) + jnp.zeros((SUB, 1), dtype) for i in range(do)]
+        ed = [jnp.zeros((SUB, LANES), dtype).at[0, :nb_steps].set(eps_dyn[:, i])
               for i in range(b)]
-        eo = [jnp.zeros((1, LANES), dtype).at[0, :nb_steps].set(eps_obs[:, i])
+        eo = [jnp.zeros((SUB, LANES), dtype).at[0, :nb_steps].set(eps_obs[:, i])
               for i in range(do)]
         xs, mus, sigmas, us, cs = _episode_core(
             env, x0_t, eps0_t, ed, eo, cfg, nb_steps, dtype, init_belief
@@ -946,8 +973,8 @@ def pallas_bsp_solve(env, nb_steps, nb_iter=25, interpret=False, **kw):
     def kernel(mu0_ref, sig0_ref, bref_mu_ref, bref_sig_ref, uref_ref,
                k_ref, kff_ref, misc_ref, trace_ref):
         dtype = bref_mu_ref.dtype
-        mu0 = [jnp.full((1, 1), mu0_ref[i], dtype) for i in range(b)]
-        sig0 = [jnp.full((1, 1), sig0_ref[i], dtype) for i in range(bb)]
+        mu0 = [jnp.full((SUB, 1), mu0_ref[i], dtype) for i in range(b)]
+        sig0 = [jnp.full((SUB, 1), sig0_ref[i], dtype) for i in range(bb)]
         out = _solve_core(env, mu0, sig0, None, cfg, dtype)
         (bref_mu, bref_sig, uref, K_pl, kff_pl, lam, dlam, last_ret, done,
          trace) = out
@@ -962,20 +989,20 @@ def pallas_bsp_solve(env, nb_steps, nb_iter=25, interpret=False, **kw):
         misc = jnp.where(li == 0, lam, 0.0)
         misc = jnp.where(li == 1, dlam, misc)
         misc = jnp.where(li == 2, last_ret, misc)
-        misc = jnp.where(li == 3, done.astype(dtype), misc)
+        misc = jnp.where(li == 3, done, misc)  # already a float 0/1
         misc_ref[...] = misc
         trace_ref[...] = trace
 
     def solve(mu0: Array, sigma0: Array):
         dtype = mu0.dtype
         out_shapes = [
-            jax.ShapeDtypeStruct((b, LANES), dtype),
-            jax.ShapeDtypeStruct((bb, LANES), dtype),
-            jax.ShapeDtypeStruct((a, LANES), dtype),
-            jax.ShapeDtypeStruct((a * b, LANES), dtype),
-            jax.ShapeDtypeStruct((a, LANES), dtype),
-            jax.ShapeDtypeStruct((1, LANES), dtype),
-            jax.ShapeDtypeStruct((1, LANES), dtype),
+            jax.ShapeDtypeStruct((b * SUB, LANES), dtype),
+            jax.ShapeDtypeStruct((bb * SUB, LANES), dtype),
+            jax.ShapeDtypeStruct((a * SUB, LANES), dtype),
+            jax.ShapeDtypeStruct((a * b * SUB, LANES), dtype),
+            jax.ShapeDtypeStruct((a * SUB, LANES), dtype),
+            jax.ShapeDtypeStruct((SUB, LANES), dtype),
+            jax.ShapeDtypeStruct((SUB, LANES), dtype),
         ]
         smem = pl.BlockSpec(memory_space=pltpu.SMEM)
         outs = pl.pallas_call(
@@ -987,15 +1014,15 @@ def pallas_bsp_solve(env, nb_steps, nb_iter=25, interpret=False, **kw):
         )(mu0, sigma0.reshape(-1))
         T = cfg.T
         bref_mu_o, bref_sig_o, uref_o, k_o, kff_o, misc, trace = outs
+        row = lambda o, i: o[i * SUB:i * SUB + 1]
         planes = (
-            [bref_mu_o[i:i + 1] for i in range(b)],
-            [bref_sig_o[i:i + 1] for i in range(bb)],
-            [uref_o[j:j + 1] for j in range(a)],
-            [[k_o[j * b + c_:j * b + c_ + 1] for c_ in range(b)]
-             for j in range(a)],
-            [kff_o[j:j + 1] for j in range(a)],
-            misc[:, 0:1], misc[:, 1:2], misc[:, 2:3],
-            misc[:, 3:4] > 0.5, trace,
+            [row(bref_mu_o, i) for i in range(b)],
+            [row(bref_sig_o, i) for i in range(bb)],
+            [row(uref_o, j) for j in range(a)],
+            [[row(k_o, j * b + c_) for c_ in range(b)] for j in range(a)],
+            [row(kff_o, j) for j in range(a)],
+            misc[0:1, 0:1], misc[0:1, 1:2], misc[0:1, 2:3],
+            misc[0:1, 3:4], trace[0:1],
         )
         return _unpack_state(env, planes, cfg)
 
@@ -1018,10 +1045,10 @@ def pallas_bsp_episode(env, horizon, nb_steps, nb_iter=25, interpret=False,
     def kernel(x0_ref, eps0_ref, eps_dyn_ref, eps_obs_ref,
                xs_ref, mus_ref, sig_ref, us_ref, cs_ref):
         dtype = xs_ref.dtype
-        x0 = [jnp.full((1, 1), x0_ref[i], dtype) for i in range(b)]
-        eps0 = [jnp.full((1, 1), eps0_ref[i], dtype) for i in range(do)]
+        x0 = [jnp.full((SUB, 1), x0_ref[i], dtype) for i in range(b)]
+        eps0 = [jnp.full((SUB, 1), eps0_ref[i], dtype) for i in range(do)]
         li = _lane_iota()
-        zero = jnp.zeros((1, LANES), dtype)
+        zero = jnp.zeros((SUB, LANES), dtype)
         ed = []
         for i in range(b):
             acc = zero
@@ -1046,11 +1073,11 @@ def pallas_bsp_episode(env, horizon, nb_steps, nb_iter=25, interpret=False,
     def run(x0: Array, eps0: Array, eps_dyn: Array, eps_obs: Array):
         dtype = x0.dtype
         out_shapes = [
-            jax.ShapeDtypeStruct((b, LANES), dtype),
-            jax.ShapeDtypeStruct((b, LANES), dtype),
-            jax.ShapeDtypeStruct((bb, LANES), dtype),
-            jax.ShapeDtypeStruct((a, LANES), dtype),
-            jax.ShapeDtypeStruct((1, LANES), dtype),
+            jax.ShapeDtypeStruct((b * SUB, LANES), dtype),
+            jax.ShapeDtypeStruct((b * SUB, LANES), dtype),
+            jax.ShapeDtypeStruct((bb * SUB, LANES), dtype),
+            jax.ShapeDtypeStruct((a * SUB, LANES), dtype),
+            jax.ShapeDtypeStruct((SUB, LANES), dtype),
         ]
         smem = pl.BlockSpec(memory_space=pltpu.SMEM)
         outs = pl.pallas_call(
@@ -1061,12 +1088,13 @@ def pallas_bsp_episode(env, horizon, nb_steps, nb_iter=25, interpret=False,
             interpret=interpret,
         )(x0, eps0, eps_dyn, eps_obs)
         xs_o, mus_o, sig_o, us_o, cs_o = outs
+        row = lambda o, i: o[i * SUB:i * SUB + 1]
         planes = (
-            [xs_o[i:i + 1] for i in range(b)],
-            [mus_o[i:i + 1] for i in range(b)],
-            [sig_o[i:i + 1] for i in range(bb)],
-            [us_o[j:j + 1] for j in range(a)],
-            cs_o,
+            [row(xs_o, i) for i in range(b)],
+            [row(mus_o, i) for i in range(b)],
+            [row(sig_o, i) for i in range(bb)],
+            [row(us_o, j) for j in range(a)],
+            cs_o[0:1],
         )
         return _unpack_episode(*planes, cfg, nb_steps)
 
