@@ -151,7 +151,8 @@ def bench_ilqr_iters(on_tpu):
         return (x0s + 1e-30 * jnp.sum(state.uref[:, 0], axis=-1, keepdims=True),)
 
     engines = (
-        [("pallas", "pallas"), ("pallas", "scan"), ("scan", "scan")]
+        [("pallas-fused", "pallas"), ("pallas", "pallas"),
+         ("pallas", "scan"), ("scan", "scan")]
         if on_tpu else [("scan", "scan")]
     )
     last_err = None

@@ -246,3 +246,24 @@ def test_pallas_bsp_episode_kernel_on_device():
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-3, err_msg=name
         )
+
+
+@requires_tpu
+def test_batched_ilqr_fused_backward_matches_scan():
+    """backward='pallas-fused' (in-kernel linearize+quadratize+recursion,
+    core/pallas_fused.py) through the full solver, both rollout engines."""
+    from trajopt_tpu.parallel.mpc import make_ilqr_solver_batched
+
+    env = trajopt_tpu.make("Cartpole-TO-v0")
+    N, T = 256, 64
+    x0 = jnp.asarray(np.array(env.x0), jnp.float32)
+    x0s = jnp.tile(x0, (N, 1)) + 0.01 * jnp.arange(N, dtype=jnp.float32)[:, None]
+
+    ss = jax.jit(make_ilqr_solver_batched(env, T, nb_iter=5, backward="scan"))
+    rs = np.asarray(ss(x0s)[0].last_return)
+    for rollout in ("scan", "pallas"):
+        sf = jax.jit(make_ilqr_solver_batched(
+            env, T, nb_iter=5, backward="pallas-fused", rollout=rollout
+        ))
+        rf = np.asarray(sf(x0s)[0].last_return)
+        np.testing.assert_allclose(rf, rs, rtol=1e-4)

@@ -1,0 +1,252 @@
+"""Fused linearize→quadratize→backward iLQR kernel (lane-major Pallas TPU).
+
+Round-4 headline lever (VERDICT r3 item 4): xprof of the 18.0 ms compiled
+iteration shows ~4 ms in the Pallas kernels and ~8.5 ms in XLA fusions/copies —
+the vmapped jacfwd/hessian linearization (core/diff.py), its quadratization,
+and the `pack_lanes` relayout of seven block streams (Cxx, cx, Cuu, cu, Cxu,
+A, B ≈ 44 floats/ts at cartpole dims).  This kernel computes ALL of it
+in-kernel from the reference trajectory alone:
+
+* reads only the packed ``xref``/``uref``(/``u_last``) streams — 9 floats/ts —
+  the exact layout the rollout kernels (core/pallas_rollout.py) already use,
+  so one pack per iteration feeds the backward AND the line search;
+* A, B are dx+du forward-mode ``jax.jvp`` columns of the tile-level dynamics
+  (the pallas_elqr recipe; Mosaic CSEs the repeated primal);
+* the delta-convention cost quadratization (core/diff.quadratize_cost_delta,
+  reference ilqr/objects.py:68-78) is closed-form for the detached-feature-
+  Jacobian cost: ``Cxx = 2w·JᵀGJ``, ``cx = 2w·JᵀG(z₀−g)``, ``Cuu = 2·diag(uw)``
+  (slew: on u−u_last), ``Cxu = 0`` — only the feature Jacobian J (dz jvp
+  columns) is data-dependent;
+* the recursion itself is the shared ``_bwd_step`` of core/pallas_lqr.py, so
+  λ-regularization modes, dV and divergence semantics are identical.
+
+Requires a tile-protocol env with the base feature-goal cost
+(``env.supports_tile_quadratization``) and T divisible by ``time_chunk``.
+Parity vs the scan path is pinned in tests/test_pallas_fused.py (interpreter)
+and tests/test_tpu.py (device).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_lqr import LANES, _bwd_step, sub_block
+from .pallas_rollout import tile_dynamics
+
+
+def _tile_lin_delta(env, x, u):
+    """Jacobians A, B of the tile-level dynamics at (x, u) — the delta
+    convention (core/diff.linearize_dynamics_delta; no residual)."""
+    ndx, ndu = len(x), len(u)
+    ones = jnp.ones_like(x[0])
+    zeros = jnp.zeros_like(x[0])
+
+    def col(seed_x, seed_u):
+        _, t = jax.jvp(
+            lambda xx, uu: tile_dynamics(env, xx, uu),
+            (list(x), list(u)), (seed_x, seed_u),
+        )
+        return t
+
+    colsA = [
+        col([ones if i == k else zeros for i in range(ndx)], [zeros] * ndu)
+        for k in range(ndx)
+    ]
+    colsB = [
+        col([zeros] * ndx, [ones if j == k else zeros for j in range(ndu)])
+        for k in range(ndu)
+    ]
+    A = [[colsA[k][i] for k in range(ndx)] for i in range(ndx)]
+    B = [[colsB[k][i] for k in range(ndu)] for i in range(ndx)]
+    return A, B
+
+
+def _tile_goal_quad_delta(env, x, w):
+    """Cxx, cx of the activation-weighted detached-Jacobian goal cost at x
+    (delta convention): Cxx = 2w·JᵀGJ, cx = 2w·JᵀG(z₀−g)."""
+    ndx = len(x)
+    g = tuple(float(v) for v in env.g)
+    gw = tuple(float(v) for v in env.gw)
+
+    y = list(env._periodic_parts(x))
+    z0 = env.features_parts(y)
+    nz = len(z0)
+    ones = jnp.ones_like(x[0])
+    zeros = jnp.zeros_like(x[0])
+
+    def jcol(k):
+        seed = [ones if i == k else zeros for i in range(ndx)]
+        _, t = jax.jvp(lambda yy: env.features_parts(yy), (y,), (seed,))
+        return t
+
+    cols = [jcol(k) for k in range(ndx)]
+    J = [[cols[k][i] for k in range(ndx)] for i in range(nz)]
+
+    Cxx = [
+        [2.0 * w * sum(gw[k] * J[k][i] * J[k][j] for k in range(nz))
+         for j in range(ndx)]
+        for i in range(ndx)
+    ]
+    cx = [
+        2.0 * w * sum(gw[k] * (z0[k] - g[k]) * J[k][i] for k in range(nz))
+        for i in range(ndx)
+    ]
+    return Cxx, cx
+
+
+def _tile_ctrl_quad_delta(env, u, ul):
+    """Cuu, cu of the control cost (delta convention): plain uᵀdiag(uw)u or
+    the slew form (u−u_last)ᵀdiag(uw)(u−u_last)."""
+    uw = tuple(float(v) for v in env.uw)
+    ndu = len(u)
+    zero = jnp.zeros_like(u[0])
+    Cuu = [
+        [2.0 * uw[i] + zero if i == j else zero for j in range(ndu)]
+        for i in range(ndu)
+    ]
+    if getattr(env, "slew_rate", False):
+        cu = [2.0 * uw[j] * (u[j] - ul[j]) for j in range(ndu)]
+    else:
+        cu = [2.0 * uw[j] * u[j] for j in range(ndu)]
+    return Cuu, cu
+
+
+def _fused_kernel(
+    x_ref, u_ref, ul_ref, xT_ref, w_ref, lam_ref,
+    k_ref, kff_ref, dv_ref, bad_ref,
+    v_s, vv_s,
+    *, env, dx, du, reg, time_chunk, tc,
+):
+    i = pl.program_id(1)
+    lam = lam_ref[...]
+    T = tc * time_chunk
+
+    @pl.when(i == 0)
+    def _():
+        xT = [xT_ref[c] for c in range(dx)]
+        CxxT, cxT = _tile_goal_quad_delta(env, xT, w_ref[T])
+        for i_ in range(dx):
+            for j_ in range(dx):
+                v_s[i_ * dx + j_] = CxxT[i_][j_]
+            vv_s[i_] = cxT[i_]
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+        bad_ref[...] = jnp.zeros_like(bad_ref)
+
+    V = [[v_s[i_ * dx + j_] for j_ in range(dx)] for i_ in range(dx)]
+    v = [vv_s[i_] for i_ in range(dx)]
+    dv0 = dv_ref[0]
+    dv1 = dv_ref[1]
+    bad = bad_ref[...] > 0
+
+    for tloc in reversed(range(time_chunk)):
+        t_glob = (tc - 1 - i) * time_chunk + tloc
+        w_t = w_ref[t_glob]
+        x = [x_ref[tloc, c] for c in range(dx)]
+        u = [u_ref[tloc, j] for j in range(du)]
+        ul = [ul_ref[tloc, j] for j in range(du)]
+
+        A, B = _tile_lin_delta(env, x, u)
+        Cxx, cx = _tile_goal_quad_delta(env, x, w_t)
+        Cuu, cu = _tile_ctrl_quad_delta(env, u, ul)
+        Cxu = [[0.0] * du for _ in range(dx)]
+
+        K, kff, V, v, dv0, dv1, bad = _bwd_step(
+            Cxx, cx, Cuu, cu, Cxu, A, B, V, v, dv0, dv1, bad, lam,
+            dx, du, reg,
+        )
+
+        for i_ in range(du):
+            for j_ in range(dx):
+                k_ref[tloc, i_ * dx + j_] = K[i_][j_]
+            kff_ref[tloc, i_] = kff[i_]
+
+    for i_ in range(dx):
+        for j_ in range(dx):
+            v_s[i_ * dx + j_] = V[i_][j_]
+        vv_s[i_] = v[i_]
+    dv_ref[0] = dv0
+    dv_ref[1] = dv1
+    bad_ref[...] = bad.astype(bad_ref.dtype)
+
+
+def pallas_ilqr_backward_fused(
+    env,
+    xref_l: Array,
+    uref_l: Array,
+    ulast_l: Array,
+    xT_l: Array,
+    weighting: Array,
+    lam_l: Array,
+    reg: int = 1,
+    *,
+    time_chunk: int = 8,
+    interpret: bool = False,
+) -> tuple[Array, Array, Array, Array]:
+    """Fused backward pass on pre-packed lane-major trajectory streams.
+
+    Args: ``xref_l (T, dx, nsub, LANES)`` / ``uref_l``/``ulast_l``
+    ``(T, du, nsub, LANES)`` (the rollout kernels' ``pack_rollout`` layout),
+    ``xT_l (dx, nsub, LANES)`` terminal states, ``weighting (T+1,)``,
+    ``lam_l (nsub, LANES)`` per-instance λ.  Returns lane-major
+    ``(K (T, du*dx, …), kff (T, du, …), dV (2, …), bad)`` — the
+    ``pallas_ilqr_backward_packed`` contract with zero early-time padding
+    (T must divide by ``time_chunk``)."""
+    T, dx, nsub, _ = xref_l.shape
+    du = uref_l.shape[1]
+    dtype = xref_l.dtype
+    if T % time_chunk:
+        raise ValueError(f"T={T} not divisible by time_chunk={time_chunk}")
+    tc = T // time_chunk
+    sub = sub_block(nsub)
+
+    def tspec(e):
+        return pl.BlockSpec(
+            (time_chunk, e, sub, LANES),
+            lambda b, i, tc=tc: (tc - 1 - i, 0, b, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def cspec(e):
+        return pl.BlockSpec(
+            (e, sub, LANES), lambda b, i: (0, b, 0), memory_space=pltpu.VMEM
+        )
+
+    kernel = partial(
+        _fused_kernel, env=env, dx=dx, du=du, reg=reg,
+        time_chunk=time_chunk, tc=tc,
+    )
+    w = jnp.asarray(weighting, dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nsub // sub, tc),
+        in_specs=[
+            tspec(dx), tspec(du), tspec(du), cspec(dx),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((sub, LANES), lambda b, i: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            tspec(du * dx), tspec(du),
+            cspec(2),
+            pl.BlockSpec((sub, LANES), lambda b, i: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, du * dx, nsub, LANES), dtype),
+            jax.ShapeDtypeStruct((T, du, nsub, LANES), dtype),
+            jax.ShapeDtypeStruct((2, nsub, LANES), dtype),
+            jax.ShapeDtypeStruct((nsub, LANES), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((dx * dx, sub, LANES), dtype),
+            pltpu.VMEM((dx, sub, LANES), dtype),
+        ],
+        interpret=interpret,
+    )(xref_l, uref_l, ulast_l, xT_l, w[:T + 1], lam_l)

@@ -146,6 +146,56 @@ def _chol_solve_mat(L, inv_d, B):
 # --------------------------------------------------------------------------------------
 
 
+def _bwd_step(Cxx, cx, Cuu, cu, Cxu, A, B, V, v, dv0, dv1, bad, lam,
+              dx, du, reg):
+    """One backward-recursion step on block values (the body of
+    ilqr/src/util.cpp:83-182) — shared by the stream kernel (blocks loaded from
+    HBM) and the fused kernel (blocks computed in-kernel)."""
+    VA = _mm(V, A)
+    VB = _mm(V, B)
+
+    Qxx = _add(Cxx, _mm_tn(A, VA))
+    Quu = _add(Cuu, _mm_tn(B, VB))
+    QuxT = _add(Cxu, _mm_tn(A, VB))      # = Quxᵀ, (dx, du)
+    qx = [cx[i_] + s for i_, s in enumerate(_mv_tn(A, v))]
+    qu = [cu[i_] + s for i_, s in enumerate(_mv_tn(B, v))]
+
+    if reg == 1:
+        # λ on Quu only: the regularized blocks share the unregularized matmuls
+        QuxT_r = QuxT
+        Quu_r = [row[:] for row in Quu]
+        for j_ in range(du):
+            Quu_r[j_][j_] = Quu_r[j_][j_] + lam
+    else:
+        # λ on the value Hessian: V_reg = V + λI ⇒ VB_reg = VB + λB
+        VB_r = [[VB[i_][j_] + lam * B[i_][j_] for j_ in range(du)]
+                for i_ in range(dx)]
+        QuxT_r = _add(Cxu, _mm_tn(A, VB_r))
+        Quu_r = _add(Cuu, _mm_tn(B, VB_r))
+
+    L, inv_d, step_bad = _chol(_sym(Quu_r))
+    bad = bad | step_bad
+
+    K = [[-e for e in row] for row in _chol_solve_mat(L, inv_d, _t(QuxT_r))]
+    kff = [-e for e in _chol_solve_vec(L, inv_d, qu)]
+
+    Quu_kff = _mv(Quu, kff)
+    dv0 = dv0 + _dot(kff, qu)
+    dv1 = dv1 + 0.5 * _dot(kff, Quu_kff)
+
+    v = [
+        qx[i_] + kquu + kqu + qk
+        for i_, (kquu, kqu, qk) in enumerate(
+            zip(_mv_tn(K, Quu_kff), _mv_tn(K, qu), _mv(QuxT, kff))
+        )
+    ]
+    M = _sym(_add(Qxx, _mm_tn(K, _mm(Quu, K))))
+    P = _mm_tn(K, _t(QuxT))              # Kᵀ Qux, (dx, dx)
+    V = [[M[i_][j_] + P[i_][j_] + P[j_][i_] for j_ in range(dx)]
+         for i_ in range(dx)]
+    return K, kff, V, v, dv0, dv1, bad
+
+
 def _ilqr_kernel(
     # inputs (per grid step (b, i); time runs backward in i)
     cxx_ref, cx_ref, cuu_ref, cu_ref, cxu_ref, a_ref, b_ref,
@@ -182,46 +232,10 @@ def _ilqr_kernel(
         A = _load_mat(a_ref, tloc, dx, dx)
         B = _load_mat(b_ref, tloc, dx, du)
 
-        VA = _mm(V, A)
-        VB = _mm(V, B)
-
-        Qxx = _add(Cxx, _mm_tn(A, VA))
-        Quu = _add(Cuu, _mm_tn(B, VB))
-        QuxT = _add(Cxu, _mm_tn(A, VB))      # = Quxᵀ, (dx, du)
-        qx = [cx[i_] + s for i_, s in enumerate(_mv_tn(A, v))]
-        qu = [cu[i_] + s for i_, s in enumerate(_mv_tn(B, v))]
-
-        if reg == 1:
-            # λ on Quu only: the regularized blocks share the unregularized matmuls
-            QuxT_r = QuxT
-            Quu_r = [row[:] for row in Quu]
-            for j_ in range(du):
-                Quu_r[j_][j_] = Quu_r[j_][j_] + lam
-        else:
-            # λ on the value Hessian: V_reg = V + λI ⇒ VB_reg = VB + λB
-            VB_r = [[VB[i_][j_] + lam * B[i_][j_] for j_ in range(du)] for i_ in range(dx)]
-            QuxT_r = _add(Cxu, _mm_tn(A, VB_r))
-            Quu_r = _add(Cuu, _mm_tn(B, VB_r))
-
-        L, inv_d, step_bad = _chol(_sym(Quu_r))
-        bad = bad | step_bad
-
-        K = [[-e for e in row] for row in _chol_solve_mat(L, inv_d, _t(QuxT_r))]
-        kff = [-e for e in _chol_solve_vec(L, inv_d, qu)]
-
-        Quu_kff = _mv(Quu, kff)
-        dv0 = dv0 + _dot(kff, qu)
-        dv1 = dv1 + 0.5 * _dot(kff, Quu_kff)
-
-        v = [
-            qx[i_] + kquu + kqu + qk
-            for i_, (kquu, kqu, qk) in enumerate(
-                zip(_mv_tn(K, Quu_kff), _mv_tn(K, qu), _mv(QuxT, kff))
-            )
-        ]
-        M = _sym(_add(Qxx, _mm_tn(K, _mm(Quu, K))))
-        P = _mm_tn(K, _t(QuxT))              # Kᵀ Qux, (dx, dx)
-        V = [[M[i_][j_] + P[i_][j_] + P[j_][i_] for j_ in range(dx)] for i_ in range(dx)]
+        K, kff, V, v, dv0, dv1, bad = _bwd_step(
+            Cxx, cx, Cuu, cu, Cxu, A, B, V, v, dv0, dv1, bad, lam,
+            dx, du, reg,
+        )
 
         for i_ in range(du):
             for j_ in range(dx):

@@ -392,6 +392,91 @@ def make_ilqr_solver_batched(
                 Kl[pad_t:], kffl[pad_t:]
             )
 
+    elif backward == "pallas-fused":
+        from ..core.pallas_fused import pallas_ilqr_backward_fused
+        from ..core.pallas_lqr import (
+            _to_lanes,
+            lane_pad,
+            pack_scalar,
+            unpack_policy,
+        )
+
+        if not getattr(env, "supports_tile_quadratization", False):
+            raise ValueError(
+                "backward='pallas-fused' needs a tile-protocol env with the "
+                "base feature-goal cost (the in-kernel quadratizer hardcodes "
+                f"it); {type(env).__name__} does not qualify"
+            )
+        if T % time_chunk:
+            raise ValueError(
+                f"backward='pallas-fused' needs T % time_chunk == 0 "
+                f"(T={T}, time_chunk={time_chunk})"
+            )
+
+        def backward_with_lm_traj(xref, uref, lmbda0, dlmbda0, frozen):
+            """λ-escalation loop around the FUSED kernel: linearization,
+            quadratization and the recursion all happen in-kernel from the
+            packed trajectory streams (core/pallas_fused.py) — no XLA
+            expand/pack of the seven block streams at all.  The packed
+            xref/uref are returned for the rollout kernels to reuse."""
+            N = lmbda0.shape[0]
+            dx, du = env.dm_state, env.dm_act
+            n_pad = lane_pad(N)
+            xr_l = _to_lanes(xref[:, :T], n_pad)
+            ur_l = _to_lanes(uref, n_pad)
+            ulast = jnp.concatenate(
+                [jnp.zeros_like(uref[:, :1]), uref[:, :-1]], axis=1
+            )
+            ul_l = _to_lanes(ulast, n_pad)
+            xT_l = _to_lanes(xref[:, T][:, None], n_pad)[0]
+
+            def bwd_packed(lmbda):
+                lam_l = pack_scalar(lmbda, n_pad)
+                Kl, kffl, dVl, badl = pallas_ilqr_backward_fused(
+                    env, xr_l, ur_l, ul_l, xT_l, weighting, lam_l, reg,
+                    time_chunk=time_chunk, interpret=interpret,
+                )
+                dV = jnp.transpose(dVl.reshape(2, -1))[:N]
+                div = badl.reshape(-1)[:N] > 0
+                return Kl, kffl, dV, div
+
+            def active_of(lmbda, diverged, first):
+                return (first | diverged) & (lmbda <= max_lmbda) & ~frozen
+
+            def cond(carry):
+                _, lmbda, _, diverged, first = carry
+                return jnp.any(active_of(lmbda, diverged, first))
+
+            def body(carry):
+                (Kl, kffl, dV), lmbda, dlmbda, diverged, first = carry
+                active = active_of(lmbda, diverged, first)
+                Kn, kffn, dVn, divn = bwd_packed(lmbda)
+                lane_act = pack_scalar(active.astype(Kl.dtype), n_pad) > 0
+                Kl = jnp.where(lane_act[None, None], Kn, Kl)
+                kffl = jnp.where(lane_act[None, None], kffn, kffl)
+                dV = jnp.where(active[:, None], dVn, dV)
+                new_div = jnp.where(active, divn, diverged)
+                esc = active & divn
+                dlmbda_n = jnp.where(
+                    esc, jnp.maximum(dlmbda * mult_lmbda, mult_lmbda), dlmbda
+                )
+                lmbda_n = jnp.where(
+                    esc, jnp.maximum(lmbda * dlmbda_n, min_lmbda), lmbda
+                )
+                return ((Kl, kffl, dV), lmbda_n, dlmbda_n, new_div,
+                        jnp.zeros_like(first))
+
+            K0, kff0, dV0, _ = bwd_packed(lmbda0)
+            init = ((K0, kff0, dV0), lmbda0, dlmbda0,
+                    jnp.zeros(N, bool), jnp.ones(N, bool))
+            (Kl, kffl, dV), lmbda, dlmbda, diverged, _ = lax.while_loop(
+                cond, body, init
+            )
+            pol = unpack_policy(Kl, kffl, N, T, dx, du)
+            return (pol.K, pol.kff, dV), lmbda, dlmbda, diverged, (
+                Kl, kffl, xr_l, ur_l
+            )
+
     elif backward == "scan":
 
         def bwd(cost, A, B, lam):
@@ -467,6 +552,10 @@ def make_ilqr_solver_batched(
             n_pad = lane_pad(xref.shape[0])
             if packed_gains is None:
                 return pack_rollout(K_n, kff_n, xref, uref)
+            if len(packed_gains) == 4:
+                # fused backward: gains AND trajectory streams already packed
+                Kl, kffl, xr_l, ur_l = packed_gains
+                return {"K": Kl, "kff": kffl, "xref": xr_l, "uref": ur_l}
             return {
                 "K": packed_gains[0], "kff": packed_gains[1],
                 "xref": _to_lanes(xref[:, :T], n_pad),
@@ -596,11 +685,22 @@ def make_ilqr_solver_batched(
 
     def iteration(state: ILQRState, _):
         N = state.lmbda.shape[0]
-        A, B, cost = jax.vmap(expand)(state.xref, state.uref)
+        if backward == "pallas-fused":
+            # no XLA expand at all — the kernel linearizes in-kernel
+            (K_n, kff_n, dV), lmbda, dlmbda, diverged, packed_gains = (
+                backward_with_lm_traj(
+                    state.xref, state.uref, state.lmbda, state.dlmbda,
+                    state.done,
+                )
+            )
+        else:
+            A, B, cost = jax.vmap(expand)(state.xref, state.uref)
 
-        (K_n, kff_n, dV), lmbda, dlmbda, diverged, packed_gains = backward_with_lm(
-            cost, A, B, state.lmbda, state.dlmbda, state.done
-        )
+            (K_n, kff_n, dV), lmbda, dlmbda, diverged, packed_gains = (
+                backward_with_lm(
+                    cost, A, B, state.lmbda, state.dlmbda, state.done
+                )
+            )
         backpass_done = ~diverged
 
         g_norm = jnp.mean(
