@@ -630,11 +630,17 @@ def bench_gps_dual(T=1000, batch=4096, on_tpu=True, reps=25):
     return batch * T / sec
 
 
-def bench_rgps_fixed_point(T=100, batch=8, reps=5):
+def bench_rgps_fixed_point(T=100, batch=8, reps=5, engine="scan"):
     """RGPS adversary fixed-point trip (SURVEY §3.4, the reference's deepest hot
     path): one `parameter_backward_pass` (Kronecker-lifted MatrixNormal solve,
     rgps/src/util.cpp:626-798) + one `cubature_forward_pass` (util.cpp:232-361)
-    + KL damping, vmapped over a batch of problems.  Returns timesteps/s."""
+    + KL damping, vmapped over a batch of problems.  Returns timesteps/s.
+
+    ``engine='pallas'`` runs the trip as the two lane-major Pallas launches of
+    core/pallas_rgps.py (the default fixed-point path of the compiled solver on
+    TPU) — the trip additionally evaluates the geodesic damping in-kernel,
+    which the scan trip's XLA program DCEs away, so the comparison is
+    conservative for the Pallas row."""
     import jax
     import jax.numpy as jnp
 
@@ -705,6 +711,59 @@ def bench_rgps_fixed_point(T=100, batch=8, reps=5):
         jax.jit(build)(one)
     )
     beta = jnp.full((), 200.0, jnp.float32)
+
+    if engine == "pallas":
+        from trajopt_tpu.core.pallas_rgps import (
+            _pad_geom,
+            pack_rgps_problem,
+            pack_rgps_xdist,
+            rgps_cubature_kl_packed,
+            rgps_param_backward_packed,
+        )
+        from trajopt_tpu.core.pallas_lqr import _to_lanes
+        from trajopt_tpu.core.types import GaussianSequence
+
+        n_pad, _, _, _ = _pad_geom(batch)
+
+        def pack_all(cost, ctl, noise, agCpp, agcp, q, mu0, sigma0):
+            packed = pack_rgps_problem(
+                cost, ctl, noise, agCpp, agcp,
+                jnp.full((batch,), 200.0, jnp.float32),
+            )
+            qmu_l, qsig_l, qmuT, qsigT = pack_rgps_xdist(q, n_pad)
+            mu0_l = _to_lanes(mu0[:, None], n_pad)[0]
+            sig0_l = _to_lanes(sigma0[:, None], n_pad)[0]
+            return packed, qmu_l, qsig_l, qmuT, qsigT, mu0_l, sig0_l
+
+        q_seq = GaussianSequence(mu=xdist0.mu, sigma=xdist0.sigma)
+        packed, qmu_l, qsig_l, qmuT, qsigT, mu0_l, sig0_l = (
+            jax.block_until_ready(
+                jax.jit(pack_all)(
+                    cost, ctl, noise, agCpp, agcp, q_seq, mu0, sigma0
+                )
+            )
+        )
+
+        def trip_p(cx_l, packed, qmu_l, qsig_l, qmuT, qsigT, mu0_l, sig0_l):
+            pk = dict(packed)
+            pk["cx"] = cx_l
+            muopt, sigopt, _ = rgps_param_backward_packed(
+                pk, qmu_l, qsig_l, dx, du
+            )
+            kl_l, _, _, klT, _, _ = rgps_cubature_kl_packed(
+                pk, muopt, sigopt, qmu_l, qsig_l, qmuT, qsigT,
+                mu0_l, sig0_l, dx, du,
+            )
+            return jnp.sum(kl_l) + jnp.sum(klT)
+
+        def perturb_p(args, kl):
+            return (args[0] + 1e-30 * kl,)
+
+        sec = _chain(
+            trip_p, (packed["cx"],), perturb_p, reps,
+            const_args=(packed, qmu_l, qsig_l, qmuT, qsigT, mu0_l, sig0_l),
+        )
+        return batch * T / sec
 
     def trip(cx, cost, ctl, noise, mu0, sigma0, agCpp, agcp, q):
         cost = cost._replace(cx=cx)
@@ -970,10 +1029,20 @@ def main():
             on_tpu=on_tpu,
         ),
     )
-    try_bench("rgps_fixed_point_tps@8", bench_rgps_fixed_point)
+    try_bench(
+        "rgps_fixed_point_tps@8",
+        lambda: bench_rgps_fixed_point(
+            engine="pallas" if on_tpu else "scan"
+        ),
+    )
     if on_tpu:
+        try_bench("rgps_fixed_point_scan_tps@8", bench_rgps_fixed_point)
         try_bench(
             "rgps_fixed_point_tps@64",
+            lambda: bench_rgps_fixed_point(batch=64, engine="pallas"),
+        )
+        try_bench(
+            "rgps_fixed_point_scan_tps@64",
             lambda: bench_rgps_fixed_point(batch=64),
         )
         try_bench("rgps_solve_iters_per_s_bisect", bench_rgps_solve)
@@ -999,6 +1068,8 @@ def main():
             (gps_key, "gps_cpu_tps", "gps_vs_cpu"),
             ("rgps_fixed_point_tps@8", "rgps_cpu_tps", "rgps_vs_cpu"),
             ("rgps_fixed_point_tps@64", "rgps_cpu_tps", "rgps_vs_cpu@64"),
+            ("rgps_fixed_point_scan_tps@8", "rgps_cpu_tps",
+             "rgps_scan_vs_cpu"),
             ("elqr_pallas_iters_per_s@1024", "elqr_cpu_iters_per_s",
              "elqr_pallas_vs_cpu"),
             ("elqr_scan_iters_per_s@64", "elqr_cpu_iters_per_s",

@@ -267,3 +267,102 @@ def test_batched_ilqr_fused_backward_matches_scan():
         ))
         rf = np.asarray(sf(x0s)[0].last_return)
         np.testing.assert_allclose(rf, rs, rtol=1e-4)
+
+
+@requires_tpu
+def test_rgps_pallas_fixed_point_on_device():
+    """Lane-major adversary fixed point (core/pallas_rgps.py) at the protocol
+    dims (dx=4, du=2 → p=28) vs the vmapped scan fixed point, f32 on device.
+    Few trips bound the f32 rounding drift between the two op orderings."""
+    from test_pallas_rgps import _ref_fixed_point
+    from trajopt_tpu.core.cubature import (
+        cubature_forward_pass,
+        parameter_augment_cost,
+    )
+    from trajopt_tpu.core.pallas_rgps import pallas_rgps_fixed_point
+    from trajopt_tpu.core.types import (
+        LinearGaussianPolicy,
+        MatrixNormalParams,
+        QuadraticCost,
+        vec_from_matrices,
+    )
+
+    N, T, dx, du = 8, 50, 4, 2
+    p = dx * (dx + du + 1)
+    ks = jax.random.split(jax.random.PRNGKey(0), 12)
+
+    def spd(k, d, n, scale=1.0):
+        M = jax.random.normal(k, (N, n, d, d), jnp.float32)
+        return scale * (jnp.einsum("bnij,bnkj->bnik", M, M) + d * jnp.eye(d))
+
+    cost = QuadraticCost(
+        Cxx=spd(ks[0], dx, T + 1),
+        cx=jax.random.normal(ks[1], (N, T + 1, dx), jnp.float32),
+        Cuu=spd(ks[2], du, T + 1),
+        cu=jax.random.normal(ks[3], (N, T + 1, du), jnp.float32),
+        Cxu=0.1 * jax.random.normal(ks[4], (N, T + 1, dx, du), jnp.float32),
+        c0=0.1 * jax.random.normal(ks[5], (N, T + 1), jnp.float32),
+    )
+    A = 0.9 * (jnp.eye(dx) + 0.1 * jax.random.normal(ks[6], (N, T, dx, dx), jnp.float32))
+    B = 0.5 * jax.random.normal(ks[7], (N, T, dx, du), jnp.float32)
+    c = 0.1 * jax.random.normal(ks[8], (N, T, dx), jnp.float32)
+    theta = jax.vmap(jax.vmap(vec_from_matrices))(A, B, c)
+    nominal = MatrixNormalParams(
+        mu=theta,
+        sigma=jnp.broadcast_to(1e-4 * jnp.eye(p), (N, T, p, p)).astype(jnp.float32),
+    )
+    ctl = LinearGaussianPolicy(
+        K=0.05 * jax.random.normal(ks[9], (N, T, du, dx), jnp.float32),
+        kff=0.05 * jax.random.normal(ks[10], (N, T, du), jnp.float32),
+        sigma=jnp.broadcast_to(jnp.eye(du), (N, T, du, du)).astype(jnp.float32),
+    )
+    noise = jnp.broadcast_to(1e-4 * jnp.eye(dx), (N, T, dx, dx)).astype(jnp.float32)
+    mu0 = 0.3 * jax.random.normal(ks[11], (N, dx), jnp.float32)
+    sigma0 = jnp.broadcast_to(0.01 * jnp.eye(dx), (N, dx, dx)).astype(jnp.float32)
+    betas = jnp.full((N,), 200.0, jnp.float32)
+
+    def prep(nom_i, b_i, ctl_i, noise_i, mu0_i, sigma0_i):
+        agCpp, agcp, _ = parameter_augment_cost(nom_i, b_i)
+        xdist0, _, _ = cubature_forward_pass(mu0_i, sigma0_i, nom_i, noise_i, ctl_i)
+        return agCpp, agcp, xdist0
+
+    agCpp, agcp, xdist0 = jax.jit(jax.vmap(prep))(
+        nominal, betas, ctl, noise, mu0, sigma0
+    )
+
+    q_ref, param_ref, div_ref, _ = jax.jit(
+        lambda *a: _ref_fixed_point(*a, fp_iters=3)
+    )(agCpp, agcp, ctl, cost, xdist0, betas, mu0, sigma0, noise)
+    q, param, div = jax.jit(
+        lambda *a: pallas_rgps_fixed_point(*a, fp_iters=3)
+    )(agCpp, agcp, ctl, cost, xdist0, betas, mu0, sigma0, noise)
+
+    np.testing.assert_array_equal(np.asarray(div), np.asarray(div_ref))
+    np.testing.assert_allclose(q.mu, q_ref.mu, rtol=5e-3, atol=5e-4)
+    np.testing.assert_allclose(q.sigma, q_ref.sigma, rtol=5e-3, atol=5e-5)
+    np.testing.assert_allclose(param.mu, param_ref.mu, rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(param.sigma, param_ref.sigma, rtol=5e-3, atol=1e-5)
+
+
+@requires_tpu
+def test_rgps_solver_pallas_fixed_point_on_device():
+    """Full compiled LRGPS solve with fp_engine='pallas' (the TPU default) vs
+    'scan' — the adversary duals must land on the same β* and returns."""
+    from trajopt_tpu.parallel.rgps import make_rgps_solver
+
+    env = trajopt_tpu.make("LQR-TO-v1")
+    mu0, sigma0 = env.init()
+    kw = dict(
+        nb_steps=20, variant="lr", nb_iter=2, init_action_sigma=10.0,
+        policy_kl_bound=0.25, param_nominal_kl_bound=50.0,
+        nominal_variance=1e-8, beta_search="parallel",
+    )
+    out = {}
+    for eng in ("scan", "pallas"):
+        solve = jax.jit(make_rgps_solver(env, fp_engine=eng, **kw))
+        state, trace = solve(jnp.asarray(mu0), jnp.asarray(sigma0))
+        out[eng] = (np.asarray(state.last_return), float(state.beta),
+                    np.asarray(trace))
+    np.testing.assert_allclose(out["pallas"][0], out["scan"][0], rtol=1e-3)
+    np.testing.assert_allclose(out["pallas"][1], out["scan"][1], rtol=0.35)
+    np.testing.assert_allclose(out["pallas"][2], out["scan"][2], rtol=1e-3)

@@ -46,6 +46,7 @@ from ..core.cubature import (
 )
 from ..core.diff import evaluate_quadratic_cost, quadratize_cost_abs
 from ..core.ekf import extended_kalman
+from ..core.pallas_rgps import pallas_rgps_fixed_point
 from ..core.scan_lqr import (
     augment_cost_kl,
     gaussian_interp_kl,
@@ -101,6 +102,7 @@ def make_rgps_solver(
     alpha_rounds: int = 5,
     alpha_grid: int = 16,
     fp_iters: int = 100,
+    fp_engine: str = "auto",
     nb_episodes: int = 25,
     prior: dict | None = None,
     differentiable: bool = False,
@@ -125,6 +127,16 @@ def make_rgps_solver(
     walls instead of ~50 (same 10% acceptance band; the selected β may differ
     within the band).
 
+    ``fp_engine`` selects the adversary fixed-point machinery: ``"scan"`` is
+    the per-instance ``lax.while_loop`` over the scan kernels
+    (core/cubature.py); ``"pallas"`` runs every fixed-point trip as two
+    lane-major Pallas launches (core/pallas_rgps.py) with the instances — and,
+    under ``beta_search="parallel"``, the β-candidates — on the 128 lanes,
+    removing the per-timestep dispatch floor of the p×p MatrixNormal
+    factorize/invert chains; ``"auto"`` (default) picks Pallas on TPU unless
+    ``differentiable=True`` (the kernels have no AD rule).  Engines agree to
+    numerical precision (tests/test_pallas_rgps.py, tests/test_tpu.py).
+
     ``differentiable=True`` makes ``jax.grad`` through the robust solve match
     the true sensitivity (see parallel/diffmpc.py): the adversary fixed-point
     ``while_loop`` becomes an ``fp_iters``-bounded scan gated on the original
@@ -140,6 +152,19 @@ def make_rgps_solver(
     """
     if variant not in ("lr", "mb", "mf"):
         raise ValueError(f"unknown variant {variant!r}")
+    if fp_engine not in ("scan", "pallas", "auto"):
+        raise ValueError(f"unknown fp_engine {fp_engine!r}")
+    if fp_engine == "pallas" and differentiable:
+        raise ValueError(
+            "fp_engine='pallas' has no AD rule; use fp_engine='scan' with "
+            "differentiable=True"
+        )
+    if fp_engine == "auto":
+        fp_engine = (
+            "pallas"
+            if (not differentiable) and jax.default_backend() == "tpu"
+            else "scan"
+        )
     if beta_search not in ("bisect", "parallel"):
         raise ValueError(f"unknown beta_search {beta_search!r}")
     if alpha_search not in ("bisect", "parallel"):
@@ -216,6 +241,53 @@ def make_rgps_solver(
             q, param, value, kl, diverged, _ = lax.while_loop(cond, body, init)
         return q, param, diverged
 
+    def fixed_point_batched(agCpp, agcp, ctl, cost, xdist0, beta,
+                            mu0, sigma0, noise):
+        """N-candidate adversary fixed point: ``agCpp (N, T, p, p)``,
+        ``agcp (N, T, p)``, ``beta (N,)``; remaining args unbatched (shared
+        across candidates).  ``fp_engine='scan'`` vmaps the per-instance
+        ``while_loop`` (JAX's batched-while per-lane freeze semantics);
+        ``fp_engine='pallas'`` runs every trip as two lane-major Pallas
+        launches with the candidates on the 128 lanes
+        (core/pallas_rgps.py) — same freeze semantics, same damping."""
+        if fp_engine == "pallas":
+            N = beta.shape[0]
+
+            def bc(x):
+                return jnp.broadcast_to(x, (N,) + x.shape)
+
+            q, param, diverged = pallas_rgps_fixed_point(
+                agCpp, agcp,
+                jax.tree.map(bc, ctl), jax.tree.map(bc, cost),
+                jax.tree.map(bc, xdist0), beta,
+                bc(mu0), bc(sigma0), bc(noise),
+                tol=1e-3, fp_iters=fp_iters,
+            )
+            return q, param, diverged
+        return jax.vmap(
+            lambda aC, ac, b: fixed_point(
+                aC, ac, ctl, cost, xdist0, b, mu0, sigma0, noise
+            )
+        )(agCpp, agcp, beta)
+
+    def fixed_point_one(agCpp, agcp, ctl, cost, xdist0, beta,
+                        mu0, sigma0, noise):
+        """Single-candidate wrapper over the batched fixed point (the
+        sequential β/η bisections probe one candidate per step)."""
+        if fp_engine == "pallas":
+            q, param, diverged = fixed_point_batched(
+                agCpp[None], agcp[None], ctl, cost, xdist0, beta[None],
+                mu0, sigma0, noise,
+            )
+            return (
+                jax.tree.map(lambda x: x[0], q),
+                jax.tree.map(lambda x: x[0], param),
+                diverged[0],
+            )
+        return fixed_point(
+            agCpp, agcp, ctl, cost, xdist0, beta, mu0, sigma0, noise
+        )
+
     def nominal_kl(param, nominal):
         return jnp.sum(
             gaussian_kl(
@@ -232,7 +304,7 @@ def make_rgps_solver(
             """Host-convention dual gradient hg = bound − nom_kl (the host's
             _parameter_dual returns the NEGATED gradient, solvers/rgps.py)."""
             agCpp, agcp, _ = parameter_augment_cost(nominal, beta)
-            _, param, diverged = fixed_point(
+            _, param, diverged = fixed_point_one(
                 agCpp, agcp, ctl, cost, xdist, beta, mu0, sigma0, noise
             )
             hg = bound - nominal_kl(param, nominal)
@@ -274,7 +346,7 @@ def make_rgps_solver(
         beta_star = jnp.where(done, chosen, best_b)
 
         agCpp, agcp, _ = parameter_augment_cost(nominal, beta_star)
-        _, param, _ = fixed_point(
+        _, param, _ = fixed_point_one(
             agCpp, agcp, ctl, cost, xdist, beta_star, mu0, sigma0, noise
         )
         return param, beta_star
@@ -291,16 +363,20 @@ def make_rgps_solver(
         bound = param_nominal_kl_bound
         dt = mu0.dtype
 
-        def grad_at(beta):
-            agCpp, agcp, _ = parameter_augment_cost(nominal, beta)
-            _, param, diverged = fixed_point(
-                agCpp, agcp, ctl, cost, xdist, beta, mu0, sigma0, noise
+        def grad_batch(betas):
+            """All candidates through ONE batched fixed point — on the Pallas
+            engine the 16 β-candidates ride the 128 lanes of a single launch
+            sequence instead of 16 vmapped scan chains."""
+            agCpp, agcp, _ = jax.vmap(
+                lambda b: parameter_augment_cost(nominal, b)
+            )(betas)
+            _, param, diverged = fixed_point_batched(
+                agCpp, agcp, ctl, cost, xdist, betas, mu0, sigma0, noise
             )
-            hg = bound - nominal_kl(param, nominal)
+            hg = bound - jax.vmap(lambda pm: nominal_kl(pm, nominal))(param)
             bad = diverged | ~jnp.isfinite(hg)
             return hg, bad
 
-        grad_batch = jax.vmap(grad_at)
         big = 1e64 if float(np.finfo(np.dtype(dt)).max) > 1e65 else 1e30
 
         def round_(carry, _):
@@ -343,7 +419,7 @@ def make_rgps_solver(
         beta_star = jnp.where(done, chosen, best_b)
 
         agCpp, agcp, _ = parameter_augment_cost(nominal, beta_star)
-        _, param, _ = fixed_point(
+        _, param, _ = fixed_point_one(
             agCpp, agcp, ctl, cost, xdist, beta_star, mu0, sigma0, noise
         )
         return param, beta_star
@@ -365,7 +441,7 @@ def make_rgps_solver(
 
         def solve_at(eta, last):
             agCpp, agcp, _ = parameter_augment_cost(last, eta)
-            _, param, diverged = fixed_point(
+            _, param, diverged = fixed_point_one(
                 agCpp, agcp, ctl, cost, xdist, eta, mu0, sigma0, noise
             )
             return param, diverged
