@@ -323,3 +323,89 @@ def test_bsp_differentiable_matches_default_and_fd():
         ew = jnp.zeros_like(w0).at[k].set(eps)
         fdw = (float(loss_j(mu0, w0 + ew)) - float(loss_j(mu0, w0 - ew))) / (2 * eps)
         np.testing.assert_allclose(float(g_w[k]), fdw, rtol=1e-4, atol=1e-8)
+
+
+def test_gps_stepwise_implicit_dual_grad_matches_fd():
+    """make_mbgps_solver(differentiable=True, kl_stepwise=True): the T coupled
+    constraints KL_t(α*) = ε get a dense (T, T) implicit solve in the
+    custom_vjp (Cholesky normal equations).  Primal equality is exact; the
+    gradient is pinned against central differences; plain AD must NOT match
+    (the staircase sensitivity it drops is real)."""
+    from trajopt_tpu.parallel.gps import make_mbgps_solver
+
+    env = trajopt_tpu.make("Pendulum-TO-v0", dt=0.05)
+
+    def make_loss(diff):
+        def loss(p):
+            e = env.replace(gw=p)
+            solve = make_mbgps_solver(
+                e, 12, nb_iter=3, kl_bound=0.2, kl_stepwise=True,
+                differentiable=diff,
+            )
+            mu0, sigma0 = e.init()
+            _, trace = solve(jax.random.PRNGKey(0), mu0, sigma0)
+            return trace[-1]
+
+        return loss
+
+    p0 = jnp.asarray([1.0, 0.1], jnp.float64)
+    plain = jax.jit(make_loss(False))
+    diff = jax.jit(make_loss(True))
+    np.testing.assert_allclose(float(diff(p0)), float(plain(p0)), rtol=0)
+
+    g = np.asarray(jax.jit(jax.grad(make_loss(True)))(p0))
+    assert np.all(np.isfinite(g)) and np.any(np.abs(g) > 0.0)
+    eps = 1e-6
+    fd = np.zeros_like(g)
+    for j in range(p0.size):
+        e = jnp.zeros_like(p0).at[j].set(eps)
+        fd[j] = (float(plain(p0 + e)) - float(plain(p0 - e))) / (2 * eps)
+    np.testing.assert_allclose(g, fd, rtol=1e-4, atol=1e-10)
+
+    # NOTE: unlike the scalar bracket bisection (comparison-based staircase),
+    # the stepwise dual's damped multiplicative update is SMOOTH, so plain
+    # unrolled AD also converges to the implicit derivative here — the
+    # custom_vjp buys exactness at finite sweep counts and O(1) reverse-mode
+    # memory in the sweep count, not correctness of the converged limit.
+    g_plain = np.asarray(jax.jit(jax.grad(make_loss(False)))(p0))
+    np.testing.assert_allclose(g_plain, fd, rtol=1e-3)
+
+
+def test_rgps_stepwise_differentiable_grad_matches_fd():
+    """make_rgps_solver(differentiable=True, policy_kl_stepwise=True): the
+    stepwise policy dual's damped log-α fixed point gets the dense (T, T)
+    implicit custom_vjp; d(robust cost)/d(mu0) pinned against FD."""
+    from trajopt_tpu.parallel.rgps import make_rgps_solver
+
+    env = trajopt_tpu.make("LQR-TO-v1")
+    mu0, sigma0 = env.init()
+    mu0 = jnp.asarray(np.asarray(mu0), jnp.float64)
+    sigma0 = jnp.asarray(np.asarray(sigma0), jnp.float64)
+    kw = dict(
+        nb_steps=8, variant="lr", nb_iter=2, init_action_sigma=10.0,
+        policy_kl_bound=0.05, policy_kl_stepwise=True,
+        param_nominal_kl_bound=50.0,
+        beta_iters=6, fp_iters=12, alpha_bisect_iters=32,
+    )
+
+    ref = jax.jit(make_rgps_solver(env, **kw))
+    solve = make_rgps_solver(env, differentiable=True, **kw)
+    s_ref, tr_ref = ref(mu0, sigma0)
+    _, tr_dif = jax.jit(solve)(mu0, sigma0)
+    np.testing.assert_allclose(np.asarray(tr_dif), np.asarray(tr_ref), rtol=1e-12)
+    assert s_ref.alpha.shape == (kw["nb_steps"],)
+
+    def loss(m0):
+        _, trace = solve(m0, sigma0)
+        return trace[-1]
+
+    loss_j = jax.jit(loss)
+    g = np.asarray(jax.jit(jax.grad(loss))(mu0))
+    assert np.all(np.isfinite(g)) and np.any(np.abs(g) > 0.0)
+
+    eps = 1e-6
+    fd = np.zeros_like(g)
+    for i in range(mu0.size):
+        e = jnp.zeros_like(mu0).at[i].set(eps)
+        fd[i] = (float(loss_j(mu0 + e)) - float(loss_j(mu0 - e))) / (2 * eps)
+    np.testing.assert_allclose(g, fd, rtol=1e-4, atol=1e-8)

@@ -92,8 +92,12 @@ def make_mbgps_solver(
     with one extra augment→backward→forward VJP chain.  When the constraint is
     not actually active at the returned root (bracket clamped at its bounds,
     diverged backward) the sensitivity is zeroed — the dual really is locally
-    constant there.  Scalar dual only (``kl_stepwise=True`` would need a dense
-    (T, T) implicit solve); the primal solve is bit-identical either way.
+    constant there.  Under ``kl_stepwise=True`` the stationarity system is the
+    T coupled constraints KL_t(α*; θ) = ε, and the backward pass solves the
+    dense (T, T) implicit system Jᵀw = −ᾱ (J = ∂KL/∂log α by one ``jacfwd``
+    sweep of the dual chain, the solve by Cholesky normal equations — the TPU
+    path has no LU), masking the components where the constraint is inactive
+    or the root non-transversal.  The primal solve is bit-identical either way.
     """
     overrides = {"slew_rate": slew_rate}
     if action_penalty is not None:
@@ -175,11 +179,6 @@ def make_mbgps_solver(
         return 0.5 * (lo + hi)
 
     if differentiable:
-        if kl_stepwise:
-            raise ValueError(
-                "differentiable=True supports the scalar dual only "
-                "(kl_stepwise=True would need a dense (T, T) implicit solve)"
-            )
 
         def _kl_residual(la, cost, dyn, ctl, mu0, sigma0, bound):
             kl, _, _ = kl_at(la, cost, dyn, ctl, mu0, sigma0)
@@ -193,21 +192,56 @@ def make_mbgps_solver(
             la = bisect_dual(cost, dyn, ctl, mu0, sigma0, bound)
             return la, (la, cost, dyn, ctl, mu0, sigma0, bound)
 
-        def _root_bwd(res, la_bar):
-            la, cost, dyn, ctl, mu0, sigma0, bound = res
-            g0, dg_dla = jax.value_and_grad(_kl_residual)(
-                la, cost, dyn, ctl, mu0, sigma0, bound
-            )
-            # implicit sensitivity only where the KL constraint is genuinely
-            # active and transversal at the root; elsewhere (clamped bracket,
-            # diverged chain) α* is locally constant
-            active = (jnp.abs(g0) < 0.25 * bound) & (jnp.abs(dg_dla) > 1e-30)
-            w = jnp.where(active, -la_bar / jnp.where(active, dg_dla, 1.0), 0.0)
-            _, vjp = jax.vjp(
-                lambda c, d, p, m, s, b: _kl_residual(la, c, d, p, m, s, b),
-                cost, dyn, ctl, mu0, sigma0, bound,
-            )
-            return vjp(w)
+        if kl_stepwise:
+
+            def _root_bwd(res, la_bar):
+                la, cost, dyn, ctl, mu0, sigma0, bound = res
+                g0 = _kl_residual(la, cost, dyn, ctl, mu0, sigma0, bound)
+                # J[t, s] = ∂KL_t/∂log α_s — one jacfwd sweep (T tangents)
+                # through the augment→backward→forward chain
+                J = jax.jacfwd(_kl_residual)(
+                    la, cost, dyn, ctl, mu0, sigma0, bound
+                )
+                # implicit sensitivity only where constraint t is genuinely
+                # active and transversal; inactive components decouple to
+                # identity rows/columns so their sensitivity is exactly zero
+                active = (jnp.abs(g0) < 0.25 * bound) & (
+                    jnp.abs(jnp.diagonal(J)) > 1e-30
+                )
+                eye = jnp.eye(T, dtype=la.dtype)
+                J_eff = jnp.where(active[:, None] & active[None, :], J, eye)
+                # solve J_effᵀ w = −ᾱ via Cholesky normal equations (the TPU
+                # path has no LU; J_eff is small and diagonally dominated by
+                # the monotone own-step sensitivities)
+                M = J_eff.T
+                rhs = -jnp.where(active, la_bar, 0.0)
+                G = M.T @ M + 1e-30 * eye
+                w = jnp.linalg.cholesky(G)
+                w = jax.scipy.linalg.cho_solve((w, True), M.T @ rhs)
+                w = jnp.where(active, w, 0.0)
+                _, vjp = jax.vjp(
+                    lambda c, d, p, m, s, b: _kl_residual(la, c, d, p, m, s, b),
+                    cost, dyn, ctl, mu0, sigma0, bound,
+                )
+                return vjp(w)
+
+        else:
+
+            def _root_bwd(res, la_bar):
+                la, cost, dyn, ctl, mu0, sigma0, bound = res
+                g0, dg_dla = jax.value_and_grad(_kl_residual)(
+                    la, cost, dyn, ctl, mu0, sigma0, bound
+                )
+                # implicit sensitivity only where the KL constraint is genuinely
+                # active and transversal at the root; elsewhere (clamped bracket,
+                # diverged chain) α* is locally constant
+                active = (jnp.abs(g0) < 0.25 * bound) & (jnp.abs(dg_dla) > 1e-30)
+                w = jnp.where(active, -la_bar / jnp.where(active, dg_dla, 1.0), 0.0)
+                _, vjp = jax.vjp(
+                    lambda c, d, p, m, s, b: _kl_residual(la, c, d, p, m, s, b),
+                    cost, dyn, ctl, mu0, sigma0, bound,
+                )
+                return vjp(w)
 
         dual_root.defvjp(_root_fwd, _root_bwd)
     else:

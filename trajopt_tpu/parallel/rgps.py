@@ -169,11 +169,6 @@ def make_rgps_solver(
         raise ValueError(f"unknown beta_search {beta_search!r}")
     if alpha_search not in ("bisect", "parallel"):
         raise ValueError(f"unknown alpha_search {alpha_search!r}")
-    if differentiable and policy_kl_stepwise:
-        raise ValueError(
-            "differentiable=True supports the scalar policy dual only "
-            "(policy_kl_stepwise=True would need a dense (T, T) implicit solve)"
-        )
 
     overrides = {"slew_rate": slew_rate}
     if action_penalty is not None:
@@ -595,20 +590,55 @@ def make_rgps_solver(
             la = _alpha_bisect(cost, ctl, param, mu0, sigma0, noise)
             return la, (la, cost, ctl, param, mu0, sigma0, noise)
 
-        def _root_bwd(res, la_bar):
-            la, cost, ctl, param, mu0, sigma0, noise = res
-            g0, dg_dla = jax.value_and_grad(_alpha_residual)(
-                la, cost, ctl, param, mu0, sigma0, noise
-            )
-            active = (jnp.abs(g0) < 0.25 * policy_kl_bound) & (
-                jnp.abs(dg_dla) > 1e-30
-            )
-            w = jnp.where(active, -la_bar / jnp.where(active, dg_dla, 1.0), 0.0)
-            _, vjp = jax.vjp(
-                lambda c, p_, pa, m, s, n: _alpha_residual(la, c, p_, pa, m, s, n),
-                cost, ctl, param, mu0, sigma0, noise,
-            )
-            return vjp(w)
+        if policy_kl_stepwise:
+
+            def _root_bwd(res, la_bar):
+                # the T coupled constraints KL_t(α*) = ε: dense (T, T)
+                # implicit solve, Cholesky normal equations (no LU on TPU),
+                # inactive components decoupled to identity (see the stepwise
+                # branch of make_mbgps_solver for the derivation)
+                la, cost, ctl, param, mu0, sigma0, noise = res
+                g0 = _alpha_residual(la, cost, ctl, param, mu0, sigma0, noise)
+                J = jax.jacfwd(_alpha_residual)(
+                    la, cost, ctl, param, mu0, sigma0, noise
+                )
+                active = (jnp.abs(g0) < 0.25 * policy_kl_bound) & (
+                    jnp.abs(jnp.diagonal(J)) > 1e-30
+                )
+                eye = jnp.eye(T, dtype=la.dtype)
+                J_eff = jnp.where(active[:, None] & active[None, :], J, eye)
+                M = J_eff.T
+                rhs = -jnp.where(active, la_bar, 0.0)
+                G = M.T @ M + 1e-30 * eye
+                w = jnp.linalg.cholesky(G)
+                w = jax.scipy.linalg.cho_solve((w, True), M.T @ rhs)
+                w = jnp.where(active, w, 0.0)
+                _, vjp = jax.vjp(
+                    lambda c, p_, pa, m, s, n: _alpha_residual(
+                        la, c, p_, pa, m, s, n
+                    ),
+                    cost, ctl, param, mu0, sigma0, noise,
+                )
+                return vjp(w)
+
+        else:
+
+            def _root_bwd(res, la_bar):
+                la, cost, ctl, param, mu0, sigma0, noise = res
+                g0, dg_dla = jax.value_and_grad(_alpha_residual)(
+                    la, cost, ctl, param, mu0, sigma0, noise
+                )
+                active = (jnp.abs(g0) < 0.25 * policy_kl_bound) & (
+                    jnp.abs(dg_dla) > 1e-30
+                )
+                w = jnp.where(active, -la_bar / jnp.where(active, dg_dla, 1.0), 0.0)
+                _, vjp = jax.vjp(
+                    lambda c, p_, pa, m, s, n: _alpha_residual(
+                        la, c, p_, pa, m, s, n
+                    ),
+                    cost, ctl, param, mu0, sigma0, noise,
+                )
+                return vjp(w)
 
         alpha_root.defvjp(_root_fwd, _root_bwd)
     else:
