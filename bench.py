@@ -118,10 +118,27 @@ def _chain(fn, args, perturb, reps, const_args=()):
         float(f(jnp.int32(n), *args, *const_args))
         return time.perf_counter() - start
 
-    # best-of-2 per trip count to shave transport jitter
-    t1 = min(run(reps) for _ in range(2))
-    t2 = min(run(2 * reps) for _ in range(2))
-    return max((t2 - t1) / reps, 1e-12)
+    # best-of-2 per trip count to shave transport jitter.  The difference must
+    # clear the MEASURED jitter floor: under host-side noise t2−t1 can come out
+    # ~0 or negative, and a bare max(…, eps) clamp then reports a physically
+    # impossible rate (observed: 1e17 ts/s for an HBM-bound kernel).  Retry
+    # with doubled trip counts — the device time scales with n while the
+    # transport constant and its jitter do not — until the signal dominates.
+    n = reps
+    for _ in range(4):
+        r1 = [run(n) for _ in range(2)]
+        r2 = [run(2 * n) for _ in range(2)]
+        t1, t2 = min(r1), min(r2)
+        jitter = 0.5 * (abs(r1[0] - r1[1]) + abs(r2[0] - r2[1]))
+        d = t2 - t1
+        if d > max(3.0 * jitter, 1e-4):
+            return d / n
+        n *= 2
+    if d > 0:
+        return d / n
+    # non-differenced upper bound: includes the ~50 ms fetch constant, so it
+    # UNDERSTATES fast kernels — but it can never explode
+    return t1 / n
 
 
 def bench_ilqr_iters(on_tpu):
