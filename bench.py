@@ -372,8 +372,9 @@ def bench_elqr(T=100, batch=64, nb_iter=10, reps=3, engine="auto"):
     """eLQR cartpole swing-up (BASELINE config #3): iterations/sec.
 
     Runs the *default-engine* batched solver (engine='auto' resolves to the
-    fused Pallas sweeps on TPU, the vmapped scan solver on CPU), so the
-    BASELINE row measures what a user actually gets (VERDICT r3 weak #4)."""
+    single-launch whole-solve kernel for batches ≤ 128 lanes, the streamed
+    Pallas sweeps beyond, the vmapped scan solver on CPU), so the BASELINE
+    row measures what a user actually gets (VERDICT r3 weak #4)."""
     import jax
     import jax.numpy as jnp
 

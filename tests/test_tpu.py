@@ -366,3 +366,31 @@ def test_rgps_solver_pallas_fixed_point_on_device():
     np.testing.assert_allclose(out["pallas"][0], out["scan"][0], rtol=1e-3)
     np.testing.assert_allclose(out["pallas"][1], out["scan"][1], rtol=0.35)
     np.testing.assert_allclose(out["pallas"][2], out["scan"][2], rtol=1e-3)
+
+
+@requires_tpu
+def test_elqr_fused_solve_matches_scan_on_device():
+    """Mosaic whole-solve eLQR kernel (engine='pallas-fused': one launch per
+    batch block, fori_loop time + dynamic-row VMEM indexing) vs the vmapped
+    scan solver."""
+    from trajopt_tpu.parallel.elqr import make_elqr_solver_batched
+
+    env = trajopt_tpu.make("Cartpole-TO-v0")
+    N, T, nb_iter = 16, 32, 4
+    keys = jax.random.split(jax.random.PRNGKey(0), N)
+    x0s = jnp.zeros((N, env.dm_state), jnp.float32).at[:, 1].add(
+        0.2 + 0.01 * jnp.arange(N, dtype=jnp.float32)
+    )
+
+    ctl_s, xs_s, us_s, tr_s = jax.jit(
+        make_elqr_solver_batched(env, T, nb_iter, engine="scan")
+    )(keys, x0s)
+    ctl_f, xs_f, us_f, tr_f = jax.jit(
+        make_elqr_solver_batched(env, T, nb_iter, engine="pallas-fused")
+    )(keys, x0s)
+    np.testing.assert_allclose(np.asarray(tr_f), np.asarray(tr_s),
+                               rtol=5e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ctl_f.K), np.asarray(ctl_s.K),
+                               rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(xs_f), np.asarray(xs_s),
+                               rtol=5e-3, atol=5e-3)

@@ -34,7 +34,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax import Array
+from jax import Array, lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -157,6 +157,119 @@ def _cuu_tiles(env, like):
 
 
 # --------------------------------------------------------------------------------------
+# Shared per-step recursions (used by the streamed kernels AND the fused
+# whole-solve kernel — byte-for-byte the same math, the `_bwd_step` trick of
+# core/pallas_lqr.py)
+# --------------------------------------------------------------------------------------
+
+
+def _forward_step(env, dx, du, K, kff, goV_n, gov_n, x, comeV, comev, comev0):
+    """One cost-to-come step (elqr/elqr.py:67-110) on (·, LANES) planes.
+    Returns (iK, ikff, comeV_n, comev_n, comev0_n, x_new)."""
+    u = [kff[j] + sum(K[j][c] * x[c] for c in range(dx)) for j in range(du)]
+    xn = tile_dynamics(env, x, u)
+    A, B, c_aff = _tile_lin(partial(tile_inverse_dynamics, env), xn, u)
+    Cxx, cx, c0 = _tile_quad_cost(env, x, u)
+    Cuu = _cuu_tiles(env, x[0])
+
+    M = [[Cxx[a][b] + comeV[a][b] for b in range(dx)] for a in range(dx)]
+    Qxx = _lmm(_lmm(_lt(A), M), A)
+    BtM = _lmm(_lt(B), M)
+    Quu = [[sum(BtM[a][k] * B[k][b] for k in range(dx)) + Cuu[a][b]
+            for b in range(du)] for a in range(du)]
+    Qux = _lmm(BtM, A)
+    Mc = _lmv(M, c_aff)
+    vec = [Mc[k] + cx[k] + comev[k] for k in range(dx)]
+    qx = _lmv(_lt(A), vec)
+    qu = _lmv(_lt(B), vec)
+    q0 = (
+        0.5 * sum(c_aff[k] * Mc[k] for k in range(dx))
+        + sum(c_aff[k] * (cx[k] + comev[k]) for k in range(dx))
+        + c0 + comev0
+    )
+
+    Qiu = _gj_inv(Quu)
+    iK = [[-e for e in row] for row in _lmm(Qiu, Qux)]
+    ikff = [-e for e in _lmv(Qiu, qu)]
+
+    comeV_n = _sym([[Qxx[a][b] + sum(Qux[k][a] * iK[k][b] for k in range(du))
+                     for b in range(dx)] for a in range(dx)])
+    comev_n = [qx[a] + sum(Qux[k][a] * ikff[k] for k in range(du))
+               for a in range(dx)]
+    comev0_n = q0 + 0.5 * sum(qu[k] * ikff[k] for k in range(du))
+
+    S = [[goV_n[a][b] + comeV_n[a][b] for b in range(dx)] for a in range(dx)]
+    r = [gov_n[a] + comev_n[a] for a in range(dx)]
+    x_new = [-e for e in _lmv(_gj_inv(S), r)]
+    return iK, ikff, comeV_n, comev_n, comev0_n, x_new
+
+
+def _backward_step(env, dx, du, iK, ikff, comeV_t, comev_t, x,
+                   goV_n, gov_n, gov0_n):
+    """One cost-to-go step (elqr/elqr.py:112-160) on (·, LANES) planes.
+    Returns (K, kff, goV, gov, gov0, x_new)."""
+    u = [ikff[j] + sum(iK[j][c] * x[c] for c in range(dx)) for j in range(du)]
+    xp = tile_inverse_dynamics(env, x, u)
+    A, B, c_aff = _tile_lin(partial(tile_dynamics, env), xp, u)
+    Cxx, cx, c0 = _tile_quad_cost(env, xp, u)
+    Cuu = _cuu_tiles(env, x[0])
+
+    AtV = _lmm(_lt(A), goV_n)
+    Qxx = [[Cxx[a][b] + sum(AtV[a][k] * A[k][b] for k in range(dx))
+            for b in range(dx)] for a in range(dx)]
+    BtV = _lmm(_lt(B), goV_n)
+    Quu = [[Cuu[a][b] + sum(BtV[a][k] * B[k][b] for k in range(dx))
+            for b in range(du)] for a in range(du)]
+    Qux = _lmm(BtV, A)
+    Vc = _lmv(goV_n, c_aff)
+    vec = [Vc[k] + gov_n[k] for k in range(dx)]
+    qx = [cx[a] + sum(A[k][a] * vec[k] for k in range(dx)) for a in range(dx)]
+    qu = [sum(B[k][a] * vec[k] for k in range(dx)) for a in range(du)]
+    q0 = (
+        c0 + gov0_n
+        + 0.5 * sum(c_aff[k] * Vc[k] for k in range(dx))
+        + sum(c_aff[k] * gov_n[k] for k in range(dx))
+    )
+
+    Qiu = _gj_inv(Quu)
+    K = [[-e for e in row] for row in _lmm(Qiu, Qux)]
+    kff = [-e for e in _lmv(Qiu, qu)]
+
+    goV = _sym([[Qxx[a][b] + sum(Qux[k][a] * K[k][b] for k in range(du))
+                 for b in range(dx)] for a in range(dx)])
+    gov = [qx[a] + sum(Qux[k][a] * kff[k] for k in range(du))
+           for a in range(dx)]
+    gov0 = q0 + 0.5 * sum(qu[k] * kff[k] for k in range(du))
+
+    S = [[goV[a][b] + comeV_t[a][b] for b in range(dx)] for a in range(dx)]
+    r = [gov[a] + comev_t[a] for a in range(dx)]
+    x_new = [-e for e in _lmv(_gj_inv(S), r)]
+    return K, kff, goV, gov, gov0, x_new
+
+
+def _terminal_step(env, dx, du, x_in, comeV_T, comev_T):
+    """Terminal quadratization at (x_in, 0) + re-choice of x_T against the
+    cost-to-come (elqr/elqr.py:112-125)."""
+    zeros_u = [jnp.zeros_like(x_in[0]) for _ in range(du)]
+    goV_T, gov_T, gov0_T = _tile_quad_cost(env, x_in, zeros_u)
+    S = [[goV_T[a][b] + comeV_T[a][b] for b in range(dx)] for a in range(dx)]
+    r = [gov_T[a] + comev_T[a] for a in range(dx)]
+    x_new = [-e for e in _lmv(_gj_inv(S), r)]
+    return goV_T, gov_T, gov0_T, x_new
+
+
+def _stage_cost_tiles(env, x, u):
+    """eLQR stage cost on tiles (elqr/elqr.py:53-65): raw action, a = 1."""
+    uw = tuple(float(v) for v in env.uw)
+    g = tuple(float(v) for v in env.g)
+    gw = tuple(float(v) for v in env.gw)
+    z = env.features_parts(env._periodic_parts(x))
+    return sum(uw[j] * u[j] * u[j] for j in range(len(u))) + sum(
+        gw[k] * (z[k] - g[k]) ** 2 for k in range(len(z))
+    )
+
+
+# --------------------------------------------------------------------------------------
 # Kernel bodies
 # --------------------------------------------------------------------------------------
 
@@ -196,41 +309,9 @@ def _forward_kernel(
         comev = [v_s[c] for c in range(dx)]
         comev0 = v0_s[0]
 
-        u = [kff[j] + sum(K[j][c] * x[c] for c in range(dx)) for j in range(du)]
-        xn = tile_dynamics(env, x, u)
-        A, B, c_aff = _tile_lin(partial(tile_inverse_dynamics, env), xn, u)
-        Cxx, cx, c0 = _tile_quad_cost(env, x, u)
-        Cuu = _cuu_tiles(env, x[0])
-
-        M = [[Cxx[a][b] + comeV[a][b] for b in range(dx)] for a in range(dx)]
-        Qxx = _lmm(_lmm(_lt(A), M), A)
-        BtM = _lmm(_lt(B), M)
-        Quu = [[sum(BtM[a][k] * B[k][b] for k in range(dx)) + Cuu[a][b]
-                for b in range(du)] for a in range(du)]
-        Qux = _lmm(BtM, A)
-        Mc = _lmv(M, c_aff)
-        vec = [Mc[k] + cx[k] + comev[k] for k in range(dx)]
-        qx = _lmv(_lt(A), vec)
-        qu = _lmv(_lt(B), vec)
-        q0 = (
-            0.5 * sum(c_aff[k] * Mc[k] for k in range(dx))
-            + sum(c_aff[k] * (cx[k] + comev[k]) for k in range(dx))
-            + c0 + comev0
+        iK, ikff, comeV_n, comev_n, comev0_n, x_new = _forward_step(
+            env, dx, du, K, kff, goV_n, gov_n, x, comeV, comev, comev0
         )
-
-        Qiu = _gj_inv(Quu)
-        iK = [[-e for e in row] for row in _lmm(Qiu, Qux)]
-        ikff = [-e for e in _lmv(Qiu, qu)]
-
-        comeV_n = _sym([[Qxx[a][b] + sum(Qux[k][a] * iK[k][b] for k in range(du))
-                         for b in range(dx)] for a in range(dx)])
-        comev_n = [qx[a] + sum(Qux[k][a] * ikff[k] for k in range(du))
-                   for a in range(dx)]
-        comev0_n = q0 + 0.5 * sum(qu[k] * ikff[k] for k in range(du))
-
-        S = [[goV_n[a][b] + comeV_n[a][b] for b in range(dx)] for a in range(dx)]
-        r = [gov_n[a] + comev_n[a] for a in range(dx)]
-        x_new = [-e for e in _lmv(_gj_inv(S), r)]
 
         for j in range(du):
             for c in range(dx):
@@ -272,13 +353,11 @@ def _backward_kernel(
     @pl.when(i == 0)
     def _():
         x_in = [xin_ref[c] for c in range(dx)]
-        zeros_u = [jnp.zeros_like(x_in[0]) for _ in range(du)]
-        goV_T, gov_T, gov0_T = _tile_quad_cost(env, x_in, zeros_u)
         comeV_T = [[comeVT_ref[a * dx + b] for b in range(dx)] for a in range(dx)]
         comev_T = [comevT_ref[c] for c in range(dx)]
-        S = [[goV_T[a][b] + comeV_T[a][b] for b in range(dx)] for a in range(dx)]
-        r = [gov_T[a] + comev_T[a] for a in range(dx)]
-        x_new = [-e for e in _lmv(_gj_inv(S), r)]
+        goV_T, gov_T, gov0_T, x_new = _terminal_step(
+            env, dx, du, x_in, comeV_T, comev_T
+        )
         for a in range(dx):
             for b in range(dx):
                 goVT_ref[a * dx + b] = goV_T[a][b]
@@ -301,42 +380,9 @@ def _backward_kernel(
         gov_n = [v_s[c] for c in range(dx)]
         gov0_n = v0_s[0]
 
-        u = [ikff[j] + sum(iK[j][c] * x[c] for c in range(dx)) for j in range(du)]
-        xp = tile_inverse_dynamics(env, x, u)
-        A, B, c_aff = _tile_lin(partial(tile_dynamics, env), xp, u)
-        Cxx, cx, c0 = _tile_quad_cost(env, xp, u)
-        Cuu = _cuu_tiles(env, x[0])
-
-        AtV = _lmm(_lt(A), goV_n)
-        Qxx = [[Cxx[a][b] + sum(AtV[a][k] * A[k][b] for k in range(dx))
-                for b in range(dx)] for a in range(dx)]
-        BtV = _lmm(_lt(B), goV_n)
-        Quu = [[Cuu[a][b] + sum(BtV[a][k] * B[k][b] for k in range(dx))
-                for b in range(du)] for a in range(du)]
-        Qux = _lmm(BtV, A)
-        Vc = _lmv(goV_n, c_aff)
-        vec = [Vc[k] + gov_n[k] for k in range(dx)]
-        qx = [cx[a] + sum(A[k][a] * vec[k] for k in range(dx)) for a in range(dx)]
-        qu = [sum(B[k][a] * vec[k] for k in range(dx)) for a in range(du)]
-        q0 = (
-            c0 + gov0_n
-            + 0.5 * sum(c_aff[k] * Vc[k] for k in range(dx))
-            + sum(c_aff[k] * gov_n[k] for k in range(dx))
+        K, kff, goV, gov, gov0, x_new = _backward_step(
+            env, dx, du, iK, ikff, comeV_t, comev_t, x, goV_n, gov_n, gov0_n
         )
-
-        Qiu = _gj_inv(Quu)
-        K = [[-e for e in row] for row in _lmm(Qiu, Qux)]
-        kff = [-e for e in _lmv(Qiu, qu)]
-
-        goV = _sym([[Qxx[a][b] + sum(Qux[k][a] * K[k][b] for k in range(du))
-                     for b in range(dx)] for a in range(dx)])
-        gov = [qx[a] + sum(Qux[k][a] * kff[k] for k in range(du))
-               for a in range(dx)]
-        gov0 = q0 + 0.5 * sum(qu[k] * kff[k] for k in range(du))
-
-        S = [[goV[a][b] + comeV_t[a][b] for b in range(dx)] for a in range(dx)]
-        r = [gov[a] + comev_t[a] for a in range(dx)]
-        x_new = [-e for e in _lmv(_gj_inv(S), r)]
 
         for j in range(du):
             for c in range(dx):
@@ -372,15 +418,7 @@ def _rollout_kernel(
     (elqr/elqr.py:53-65): cost on the RAW action (u_last = 0, a = 1), dynamics
     clip internally."""
     i = pl.program_id(1)
-    uw = tuple(float(v) for v in env.uw)
-    g = tuple(float(v) for v in env.g)
-    gw = tuple(float(v) for v in env.gw)
-
-    def stage_cost(x, u):
-        z = env.features_parts(env._periodic_parts(x))
-        return sum(uw[j] * u[j] * u[j] for j in range(len(u))) + sum(
-            gw[k] * (z[k] - g[k]) ** 2 for k in range(len(z))
-        )
+    stage_cost = partial(_stage_cost_tiles, env)
 
     @pl.when(i == 0)
     def _():
@@ -539,6 +577,196 @@ def elqr_rollout_pallas(env, K_l, kff_l, x0_l, *, time_chunk=None,
         interpret=interpret,
     )
     return call(K_l, kff_l, x0_l)[0]
+
+
+# --------------------------------------------------------------------------------------
+# Fused whole-solve kernel (the latency engine)
+# --------------------------------------------------------------------------------------
+
+
+def _row_planes(ref, t, e):
+    """Row ``t`` of a ``(T, e, LANES)`` VMEM ref as ``e`` planes of (1, LANES)."""
+    row = ref[pl.ds(t, 1)]
+    return [row[:, p, :] for p in range(e)]
+
+
+def _store_row(ref, t, planes):
+    ref[pl.ds(t, 1)] = jnp.concatenate([p[:, None, :] for p in planes], axis=1)
+
+
+def _as_mat(planes, n, m):
+    return [[planes[a * m + b] for b in range(m)] for a in range(n)]
+
+
+def _flatm(M):
+    return [e for row in M for e in row]
+
+
+def _solve_kernel(
+    kff0_ref, x0_ref,
+    kout_ref, kffout_ref, xs_ref, us_ref, rets_ref,
+    K_s, kff_s, iK_s, ikff_s, comeV_s, comev_s, goV_s, gov_s,
+    *, env, dx, du, T, nb_iter,
+):
+    """The ENTIRE eLQR solve — nb_iter × (forward sweep, terminal step,
+    backward sweep, evaluation rollout) — in one kernel instance, batch on the
+    128 lanes (one block per grid step).  Time is a ``lax.fori_loop`` with
+    dynamic-row VMEM indexing (the `pallas_bsp` recipe), NOT a grid dimension,
+    so the per-step math (`_forward_step`/`_backward_step`, shared
+    byte-for-byte with the streamed kernels) never pays an XLA dispatch or a
+    kernel-launch boundary.  Replaces ~3·nb_iter launches + a host rollout scan
+    with ONE launch — the batch-≤128 latency path (elqr/elqr.py:179-201)."""
+    x0 = [x0_ref[c:c + 1, :] for c in range(dx)]
+    zero = jnp.zeros_like(x0[0])
+
+    # per-block init (scratch persists across grid steps)
+    K_s[...] = jnp.zeros(K_s.shape, K_s.dtype)
+    kff_s[...] = kff0_ref[...]
+    goV_s[...] = jnp.zeros(goV_s.shape, goV_s.dtype)
+    gov_s[...] = jnp.zeros(gov_s.shape, gov_s.dtype)
+    initV = [
+        jnp.full_like(zero, 1e-16) if a == b else zero
+        for a in range(dx) for b in range(dx)
+    ]
+    _store_row(comeV_s, 0, initV)
+    _store_row(comev_s, 0, [zero] * dx)
+
+    def rollout(store):
+        def body(t, carry):
+            x, ret = carry
+            K = _as_mat(_row_planes(K_s, t, du * dx), du, dx)
+            kff = _row_planes(kff_s, t, du)
+            u = [kff[j] + sum(K[j][c] * x[c] for c in range(dx))
+                 for j in range(du)]
+            ret = ret + _stage_cost_tiles(env, list(x), u)
+            if store:
+                _store_row(xs_ref, t, list(x))
+                _store_row(us_ref, t, u)
+            xn = tile_dynamics(env, list(x), u)
+            return (tuple(xn), ret)
+
+        x, ret = lax.fori_loop(0, T, body, (tuple(x0), zero))
+        ret = ret + _stage_cost_tiles(env, list(x), [zero] * du)
+        if store:
+            _store_row(xs_ref, T, list(x))
+        return ret
+
+    rets_ref[pl.ds(0, 1)] = rollout(False)
+
+    def iteration(it, x_state):
+        def fwd(t, carry):
+            x, comeV_f, comev_f, comev0 = carry
+            K = _as_mat(_row_planes(K_s, t, du * dx), du, dx)
+            kff = _row_planes(kff_s, t, du)
+            goV_n = _as_mat(_row_planes(goV_s, t + 1, dx * dx), dx, dx)
+            gov_n = _row_planes(gov_s, t + 1, dx)
+            iK, ikff, comeV_n, comev_n, comev0_n, x_new = _forward_step(
+                env, dx, du, K, kff, goV_n, gov_n, list(x),
+                _as_mat(list(comeV_f), dx, dx), list(comev_f), comev0,
+            )
+            _store_row(iK_s, t, _flatm(iK))
+            _store_row(ikff_s, t, ikff)
+            _store_row(comeV_s, t + 1, _flatm(comeV_n))
+            _store_row(comev_s, t + 1, comev_n)
+            return (tuple(x_new), tuple(_flatm(comeV_n)), tuple(comev_n),
+                    comev0_n)
+
+        carry_f = lax.fori_loop(
+            0, T, fwd, (x_state, tuple(initV), (zero,) * dx, zero)
+        )
+        x_mid = carry_f[0]
+
+        comeV_T = _as_mat(_row_planes(comeV_s, T, dx * dx), dx, dx)
+        comev_T = _row_planes(comev_s, T, dx)
+        goV_T, gov_T, gov0_T, x_term = _terminal_step(
+            env, dx, du, list(x_mid), comeV_T, comev_T
+        )
+        _store_row(goV_s, T, _flatm(goV_T))
+        _store_row(gov_s, T, gov_T)
+
+        def bwd(i, carry):
+            x, goV_f, gov_f, gov0 = carry
+            t = T - 1 - i
+            iK = _as_mat(_row_planes(iK_s, t, du * dx), du, dx)
+            ikff = _row_planes(ikff_s, t, du)
+            comeV_t = _as_mat(_row_planes(comeV_s, t, dx * dx), dx, dx)
+            comev_t = _row_planes(comev_s, t, dx)
+            K, kff, goV, gov, gov0_n, x_new = _backward_step(
+                env, dx, du, iK, ikff, comeV_t, comev_t, list(x),
+                _as_mat(list(goV_f), dx, dx), list(gov_f), gov0,
+            )
+            _store_row(K_s, t, _flatm(K))
+            _store_row(kff_s, t, kff)
+            _store_row(goV_s, t, _flatm(goV))
+            _store_row(gov_s, t, gov)
+            return (tuple(x_new), tuple(_flatm(goV)), tuple(gov), gov0_n)
+
+        carry_b = lax.fori_loop(
+            0, T, bwd,
+            (tuple(x_term), tuple(_flatm(goV_T)), tuple(gov_T), gov0_T),
+        )
+        rets_ref[pl.ds(it + 1, 1)] = rollout(False)
+        return carry_b[0]
+
+    lax.fori_loop(0, nb_iter, iteration, tuple(x0))
+
+    kout_ref[...] = K_s[...]
+    kffout_ref[...] = kff_s[...]
+    rollout(True)
+
+
+def elqr_solve_fused_pallas(env, kff0_l, x0_l, nb_iter, *, interpret=False):
+    """Whole-solve single-launch eLQR on lane-major operands.
+
+    Args: ``kff0_l (T, du, nblk, LANES)``, ``x0_l (dx, nblk, LANES)``.
+    Returns ``(K_l, kff_l, xs_l (T+1,…), us_l, rets (nb_iter+1, nblk, LANES))``
+    with the exact iteration semantics of :func:`parallel.elqr.make_elqr_solver`.
+    One grid step per 128-lane batch block; each block's solve runs start to
+    finish inside the kernel (VMEM-resident streams, ~4 MB at T=100, dx=4)."""
+    T, du, nblk, _ = kff0_l.shape
+    dx = x0_l.shape[0]
+    dtype = kff0_l.dtype
+    if (T + 1) * (2 * dx * dx + 2 * dx + 2 * du * dx + 2 * du) * LANES * 4 \
+            > 12 * 2**20:
+        raise ValueError(f"T={T} too large for the VMEM-resident fused solve")
+
+    kernel = partial(_solve_kernel, env=env, dx=dx, du=du, T=T,
+                     nb_iter=nb_iter)
+    ts = lambda e, L: pl.BlockSpec((L, e, None, LANES), lambda b: (0, 0, b, 0),
+                                   memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        grid=(nblk,),
+        in_specs=[
+            ts(du, T),
+            pl.BlockSpec((dx, None, LANES), lambda b: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            ts(du * dx, T), ts(du, T), ts(dx, T + 1), ts(du, T),
+            pl.BlockSpec((nb_iter + 1, None, LANES), lambda b: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, du * dx, nblk, LANES), dtype),
+            jax.ShapeDtypeStruct((T, du, nblk, LANES), dtype),
+            jax.ShapeDtypeStruct((T + 1, dx, nblk, LANES), dtype),
+            jax.ShapeDtypeStruct((T, du, nblk, LANES), dtype),
+            jax.ShapeDtypeStruct((nb_iter + 1, nblk, LANES), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((T, du * dx, LANES), dtype),
+            pltpu.VMEM((T, du, LANES), dtype),
+            pltpu.VMEM((T, du * dx, LANES), dtype),
+            pltpu.VMEM((T, du, LANES), dtype),
+            pltpu.VMEM((T + 1, dx * dx, LANES), dtype),
+            pltpu.VMEM((T + 1, dx, LANES), dtype),
+            pltpu.VMEM((T + 1, dx * dx, LANES), dtype),
+            pltpu.VMEM((T + 1, dx, LANES), dtype),
+        ],
+        interpret=interpret,
+    )
+    return call(kff0_l, x0_l)
 
 
 def pick_time_chunk_elqr(T: int, max_chunk: int = 4) -> int:

@@ -79,11 +79,15 @@ def make_elqr_solver_batched(
     chains).  ``engine='pallas'`` runs each sweep as ONE lane-major Pallas
     launch with in-kernel linearization (core/pallas_elqr.py) — three launches
     per iteration for the whole batch, the eLQR analogue of the packed iLQR/GPS
-    engines.  Needs a tile-protocol env.  ``engine='auto'`` (default) picks the
-    Pallas engine whenever it applies — tile-protocol env, no slew-rate cost,
-    and a TPU backend (or ``interpret=True``) — and falls back to scan
-    otherwise, so the fast path is the default rather than an opt-in
-    (VERDICT r3 item 2).
+    engines.  ``engine='pallas-fused'`` runs the ENTIRE solve (nb_iter ×
+    forward/backward/rollout, plus the final trajectory rollout) as ONE Pallas
+    launch per 128-lane batch block — the latency engine for batch ≤ 128,
+    where the streamed engine's ~3·nb_iter launch boundaries dominate.  Both
+    need a tile-protocol env.  ``engine='auto'`` (default) picks a Pallas
+    engine whenever it applies — tile-protocol env, no slew-rate cost, and a
+    TPU backend (or ``interpret=True``) — fused for batches that fit one lane
+    block, streamed beyond, and falls back to scan otherwise, so the fast path
+    is the default rather than an opt-in (VERDICT r3 item 2).
 
     ``mesh`` block-shards the problem axis: each device runs its own sweep
     launches on its shard (the dp axis of SURVEY §2.4; the reference has no
@@ -94,7 +98,27 @@ def make_elqr_solver_batched(
             and not getattr(env, "slew_rate", False)
         )
         backend_ok = interpret or jax.default_backend() == "tpu"
-        engine = "pallas" if (tile_ok and backend_ok) else "scan"
+        if tile_ok and backend_ok:
+            # dispatch on the (static) batch size at call time: one lane
+            # block → the single-launch fused solve, beyond → streamed sweeps
+            from ..core.pallas_elqr import LANES as _LANES
+
+            streamed = make_elqr_solver_batched(
+                env, nb_steps, nb_iter, engine="pallas",
+                time_chunk=time_chunk, interpret=interpret,
+                mesh=mesh, axis_name=axis_name,
+            )
+            fused = make_elqr_solver_batched(
+                env, nb_steps, nb_iter, engine="pallas-fused",
+                interpret=interpret, mesh=mesh, axis_name=axis_name,
+            )
+
+            def solve_auto(keys, x0s):
+                pick = fused if x0s.shape[0] <= _LANES else streamed
+                return pick(keys, x0s)
+
+            return solve_auto
+        engine = "scan"
     def _maybe_shard(solve):
         if mesh is None:
             return solve
@@ -118,16 +142,49 @@ def make_elqr_solver_batched(
 
         return _maybe_shard(solve_scan)
 
-    if engine != "pallas":
+    if engine not in ("pallas", "pallas-fused"):
         raise ValueError(f"unknown engine {engine!r}")
     if not getattr(env, "supports_tile_quadratization", False):
         raise ValueError(
-            "engine='pallas' needs a tile-protocol env (_ode_parts) with the "
-            "base feature-goal cost (the in-kernel quadratizer hardcodes it); "
-            f"{type(env).__name__} does not qualify"
+            f"engine={engine!r} needs a tile-protocol env (_ode_parts) with "
+            "the base feature-goal cost (the in-kernel quadratizer hardcodes "
+            f"it); {type(env).__name__} does not qualify"
         )
     if getattr(env, "slew_rate", False):
-        raise ValueError("engine='pallas' does not support slew-rate costs")
+        raise ValueError(f"engine={engine!r} does not support slew-rate costs")
+
+    if engine == "pallas-fused":
+        from ..core.pallas_elqr import elqr_solve_fused_pallas
+        from ..core.pallas_lqr import _from_lanes, _to_lanes, lane_pad
+
+        T = nb_steps
+        dx, du = env.dm_state, env.dm_act
+
+        def solve_fused(keys: Array, x0s: Array):
+            N = x0s.shape[0]
+            dtype = x0s.dtype
+
+            def init_kff(key):
+                k1, _ = jax.random.split(key)
+                return jax.random.normal(k1, (T, du), dtype)
+
+            kff0 = jax.vmap(init_kff)(keys)
+            n_pad = lane_pad(N)
+            kff0_l = _to_lanes(kff0, n_pad)
+            x0_l = _to_lanes(x0s[:, None, :], n_pad)[0]
+            K_l, kff_l, xs_l, us_l, rets = elqr_solve_fused_pallas(
+                env, kff0_l, x0_l, nb_iter, interpret=interpret
+            )
+            ctl = LinearPolicy(
+                K=_from_lanes(K_l, N, (du, dx)),
+                kff=_from_lanes(kff_l, N, (du,)),
+            )
+            xs = _from_lanes(xs_l, N, (dx,))
+            us = _from_lanes(us_l, N, (du,))
+            trace = jnp.moveaxis(rets.reshape(nb_iter + 1, -1)[:, :N], 0, 1)
+            return ctl, xs, us, trace
+
+        return _maybe_shard(solve_fused)
 
     from ..core.pallas_elqr import (
         LANES,
