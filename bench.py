@@ -988,11 +988,17 @@ def main():
     T, dx, du = 1000, 4, 2
 
     extras = {}
+    failed_rows = {}
 
     def try_bench(name, fn):
         try:
             extras[name] = round(fn(), 1)
         except Exception as e:  # pragma: no cover - defensive: report, keep going
+            # Loud failure: the row lands in the JSON line itself (failed_rows),
+            # not just stderr — a flagship row silently vanishing from the
+            # record (round 4's bsp_lightdark_mpc_steps_per_s) must be
+            # impossible to miss.
+            failed_rows[name] = f"{type(e).__name__}: {e}"[:300]
             print(f"bench {name} failed: {e!r}", file=sys.stderr)
 
     # headline: full iLQR iterations/sec at horizon 1000
@@ -1128,6 +1134,8 @@ def main():
         "vs_baseline": round(iters_per_s / cpu_iters_upper_bound, 2),
         "extras": extras,
     }
+    if failed_rows:
+        result["failed_rows"] = failed_rows
     print(json.dumps(result))
 
 

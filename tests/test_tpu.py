@@ -249,6 +249,43 @@ def test_pallas_bsp_episode_kernel_on_device():
 
 
 @requires_tpu
+def test_pallas_bsp_episode_kernel_at_bench_shape():
+    """Mosaic lowering guard at EXACTLY the bench_bsp config (bench.py:
+    horizon=25, nb_steps=50, nb_iter=10).  Round 4 shipped a kernel that
+    passed the small-shape parity test above but failed to compile at this
+    shape on the official bench run — Mosaic lowering is shape-dependent, so
+    the bench shape itself must be device-tested.  Numerical parity vs the
+    plane-math twin is pinned at the small shape (the twin's XLA compile at
+    this shape is prohibitively slow); here we require compile + run + sane
+    finite outputs."""
+    from trajopt_tpu.core.pallas_bsp import pallas_bsp_episode
+
+    env = trajopt_tpu.make("LightDark-TO-v0")
+    T, nsteps, it = 25, 50, 10
+    rng = np.random.default_rng(3)
+    x0 = jnp.asarray(np.array(env.reset_state()), jnp.float32)
+    eps0 = jnp.asarray(rng.standard_normal(env.obs_dim), jnp.float32)
+    eps_dyn = jnp.asarray(
+        rng.standard_normal((nsteps, env.state_dim)), jnp.float32
+    )
+    eps_obs = jnp.asarray(
+        rng.standard_normal((nsteps, env.obs_dim)), jnp.float32
+    )
+
+    xs, mus, sigmas, us, cs = jax.jit(
+        pallas_bsp_episode(env, T, nsteps, nb_iter=it)
+    )(x0, eps0, eps_dyn, eps_obs)
+    for name, arr in [("xs", xs), ("mus", mus), ("sigmas", sigmas),
+                      ("us", us), ("cs", cs)]:
+        arr = np.asarray(arr)
+        assert np.all(np.isfinite(arr)), name
+    # the light-dark controller must actually control: the belief tracks the
+    # true state and the EKF covariance contracts from its 5.0·I prior
+    assert np.linalg.norm(np.asarray(mus)[-1] - np.asarray(xs)[-1]) < 1.0
+    assert np.trace(np.asarray(sigmas)[-1]) < np.trace(np.asarray(sigmas)[0])
+
+
+@requires_tpu
 def test_batched_ilqr_fused_backward_matches_scan():
     """backward='pallas-fused' (in-kernel linearize+quadratize+recursion,
     core/pallas_fused.py) through the full solver, both rollout engines."""

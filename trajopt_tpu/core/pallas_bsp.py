@@ -342,13 +342,6 @@ def _ext(pl_, t):
                    keepdims=True)
 
 
-def _ext_fast(pl_, t):
-    """Cheap lane-t slice for values consumed by ARITHMETIC only (the hot
-    backward/forward loops): no reduction, 1 op.  Never feed the result into a
-    ``select_n``/loop carry — use :func:`_ext` there (see its layout note)."""
-    return pl_[:, t:t + 1]
-
-
 def _pick(pl_, mask):
     """Masked single-lane extraction: Σ_lanes mask·plane → (1, 1)."""
     return jnp.sum(jnp.where(mask, pl_, jnp.zeros_like(pl_)), axis=1,
@@ -367,14 +360,15 @@ def _ladder_backward(cost_pl, dyn_pl, lam_plane, cfg, dtype):
     Q_pl, q_pl, R_pl, r_pl, P_pl, p_pl = cost_pl
     F_pl, G_pl, X_pl, Y_pl, Z_pl, T_pl, U_pl, V_pl = dyn_pl
 
-    # hot loop: every extract feeds pure arithmetic (the recursion values) or
-    # the _pick-based output selection, so the 1-op slice is layout-safe
+    # extracts MUST be the masked-reduction _ext: a raw lane slice here gives
+    # Mosaic a non-replicated layout that later dies with "Invalid relayout"
+    # when these values reach the fori_loop carries (regressed once — r4)
     def emat(M, t):
-        return [[_ext_fast(M[i][j], t) for j in range(len(M[0]))]
+        return [[_ext(M[i][j], t) for j in range(len(M[0]))]
                 for i in range(len(M))]
 
     def evec(v, t):
-        return [_ext_fast(v[i], t) for i in range(len(v))]
+        return [_ext(v[i], t) for i in range(len(v))]
 
     zero = jnp.zeros((SUB, LANES), dtype)
     one_t = jnp.ones((SUB, 1), dtype)
@@ -550,11 +544,11 @@ def _forward_all_planes(env, K_pl, kff_pl, mu0, sig0, bref_mu_pl, uref_pl,
     store = [None] * (T + 1)
 
     for t in range(T):
-        # arithmetic-only consumers: the cheap slice is layout-safe here
-        Kt = [[_ext_fast(K_pl[j][c_], t) for c_ in range(b)] for j in range(a)]
-        kfft = [_ext_fast(kff_pl[j], t) for j in range(a)]
-        murt = [_ext_fast(bref_mu_pl[i], t) for i in range(b)]
-        urt = [_ext_fast(uref_pl[j], t) for j in range(a)]
+        # masked-reduction _ext only — see the layout note in _ladder_backward
+        Kt = [[_ext(K_pl[j][c_], t) for c_ in range(b)] for j in range(a)]
+        kfft = [_ext(kff_pl[j], t) for j in range(a)]
+        murt = [_ext(bref_mu_pl[i], t) for i in range(b)]
+        urt = [_ext(uref_pl[j], t) for j in range(a)]
 
         u = [
             urt[j] + alpha_plane * kfft[j]
