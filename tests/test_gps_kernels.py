@@ -170,3 +170,51 @@ def test_gaussian_kl_and_interp():
     interp1 = gaussian_interp_kl(q, p, 1.0)
     np.testing.assert_allclose(np.asarray(interp1.mu), mus[0], rtol=1e-8)
     np.testing.assert_allclose(np.asarray(interp1.sigma), sigs[0], rtol=1e-8)
+
+
+def test_gaussian_interp_w2_matches_numpy_oracle():
+    """W2-geodesic interpolation (core/scan_lqr.gaussian_interp_w2) vs an
+    independent scipy.linalg.sqrtm oracle implementing the reference's
+    interp_gauss_w2 (rgps/mbrgps.py:561-577, kernel rgps/src/util.cpp:155-185)."""
+    import scipy.linalg
+
+    from trajopt_tpu.core.scan_lqr import gaussian_interp_w2
+
+    rng = np.random.default_rng(21)
+    T, d = 6, 3
+    a = 0.37
+    mus = rng.standard_normal((2, T, d))
+    sigs = np.zeros((2, T, d, d))
+    for i in range(2):
+        for t in range(T):
+            R = rng.standard_normal((d, d))
+            sigs[i, t] = R @ R.T + 0.5 * np.eye(d)
+
+    q = GaussianSequence(mu=jnp.asarray(mus[0]), sigma=jnp.asarray(sigs[0]))
+    p = GaussianSequence(mu=jnp.asarray(mus[1]), sigma=jnp.asarray(sigs[1]))
+    got = gaussian_interp_w2(q, p, a)
+
+    for t in range(T):
+        mu_o = (1.0 - a) * mus[0, t] + a * mus[1, t]
+        s_chol = np.real(scipy.linalg.sqrtm(sigs[0, t]))
+        s_chol_inv = np.linalg.inv(s_chol)
+        mid = (1.0 - a) * sigs[0, t] + a * np.real(
+            scipy.linalg.sqrtm(s_chol @ sigs[1, t] @ s_chol)
+        )
+        sig_o = s_chol_inv @ mid @ mid @ s_chol_inv
+        np.testing.assert_allclose(np.asarray(got.mu)[t], mu_o, rtol=1e-8)
+        np.testing.assert_allclose(
+            np.asarray(got.sigma)[t], sig_o, rtol=1e-6, atol=1e-8
+        )
+
+    # endpoints
+    interp0 = gaussian_interp_w2(q, p, 0.0)
+    np.testing.assert_allclose(np.asarray(interp0.mu), mus[0], rtol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(interp0.sigma), sigs[0], rtol=1e-6, atol=1e-8
+    )
+    interp1 = gaussian_interp_w2(q, p, 1.0)
+    np.testing.assert_allclose(np.asarray(interp1.mu), mus[1], rtol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(interp1.sigma), sigs[1], rtol=1e-6, atol=1e-8
+    )

@@ -251,3 +251,19 @@ def test_robust_beats_standard_under_attack():
 
     assert rb_nom > std_nom        # robustness premium on the nominal model
     assert rb_att < std_att        # and the payoff under attack
+
+
+def test_lrgps_w2_interp_damping():
+    """interp='w2' swaps the adversary fixed point's damping geodesic for the
+    Wasserstein-2 one (the reference's available alternative, mbrgps.py:561-577)
+    and still converges on the adversarial LQR env."""
+    env = trajopt_tpu.make("LQR-TO-v1", sigma_scale=1e-4)
+    solver = LRGPS(
+        env, nb_steps=20, init_state=env.init(), init_action_sigma=10.0,
+        policy_kl_bound=0.25, param_nominal_kl_bound=50.0,
+        param_regularizer_kl_bound=10.0, nominal_variance=1e-8,
+        interp="w2",
+    )
+    trace = solver.run(nb_iter=3)
+    assert len(trace) >= 2
+    assert all(np.isfinite(trace))

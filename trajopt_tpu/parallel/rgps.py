@@ -50,6 +50,7 @@ from ..core.pallas_rgps import pallas_rgps_fixed_point
 from ..core.scan_lqr import (
     augment_cost_kl,
     gaussian_interp_kl,
+    gaussian_interp_w2,
     gaussian_kl,
     policy_kl,
 )
@@ -103,6 +104,7 @@ def make_rgps_solver(
     alpha_grid: int = 16,
     fp_iters: int = 100,
     fp_engine: str = "auto",
+    interp: str = "kl",
     nb_episodes: int = 25,
     prior: dict | None = None,
     differentiable: bool = False,
@@ -154,6 +156,15 @@ def make_rgps_solver(
         raise ValueError(f"unknown variant {variant!r}")
     if fp_engine not in ("scan", "pallas", "auto"):
         raise ValueError(f"unknown fp_engine {fp_engine!r}")
+    if interp not in ("kl", "w2"):
+        raise ValueError(f"unknown interp {interp!r} (options: 'kl', 'w2')")
+    if interp == "w2":
+        if fp_engine == "pallas":
+            raise ValueError(
+                "fp_engine='pallas' implements the KL damping geodesic "
+                "in-kernel; use fp_engine='scan' with interp='w2'"
+            )
+        fp_engine = "scan"  # W2 needs eigh, unavailable inside the kernel
     if fp_engine == "pallas" and differentiable:
         raise ValueError(
             "fp_engine='pallas' has no AD rule; use fp_engine='scan' with "
@@ -208,7 +219,9 @@ def make_rgps_solver(
             )
             p_xdist, _, _ = cubature(ctl, param, mu0, sigma0, noise)
             kl = gaussian_kl(p_xdist, q)
-            q_new = gaussian_interp_kl(q, p_xdist, 1e-1)
+            # damping geodesic: KL (reference live path) or W2 alternative
+            damp = gaussian_interp_w2 if interp == "w2" else gaussian_interp_kl
+            q_new = damp(q, p_xdist, 1e-1)
             return (q_new, param, value, kl, diverged, it + 1)
 
         init = (

@@ -40,6 +40,7 @@ from ..core.ekf import extended_kalman
 from ..core.scan_lqr import (
     augment_cost_kl,
     gaussian_interp_kl,
+    gaussian_interp_w2,
     gaussian_kl,
     policy_kl,
     quad_expectation,
@@ -70,6 +71,7 @@ class _RGPSBase:
         slew_rate: bool = False,
         action_penalty=None,
         nominal_variance: float = 1e-8,
+        interp: str = "kl",
         key=None,
     ):
         overrides = {"slew_rate": slew_rate}
@@ -140,6 +142,10 @@ class _RGPSBase:
                 self.mu0, self.sigma0, param, self.noise, ctl
             )
         )
+        if interp not in ("kl", "w2"):
+            raise ValueError(f"unknown interp {interp!r} (options: 'kl', 'w2')")
+        self.interp = interp
+
         from ..utils.metrics import MetricsRecorder
         self.metrics = MetricsRecorder(type(self).__name__.lower())
 
@@ -238,7 +244,10 @@ class _RGPSBase:
                 self.mu0, self.sigma0, param, self.noise, ctl
             )
             kl = gaussian_kl(p_xdist, q)
-            q_new = gaussian_interp_kl(q, p_xdist, 1e-1)
+            # damping geodesic: KL (the reference's live path, mbrgps.py:407)
+            # or W2 (its available alternative, mbrgps.py:561-577)
+            damp = gaussian_interp_w2 if self.interp == "w2" else gaussian_interp_kl
+            q_new = damp(q, p_xdist, 1e-1)
             return (q_new, param, value, kl, diverged, it + 1)
 
         init = (
