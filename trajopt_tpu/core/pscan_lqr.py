@@ -556,3 +556,99 @@ def pilqr_backward_reg(
         & jnp.all(jnp.isfinite(value.V))
     )
     return ctl, value, dV, diverged
+
+
+def sharded_gps_backward(
+    agcost: QuadraticCost,
+    dyn,
+    alpha: Array,
+    mesh,
+    axis_name: str = "time",
+):
+    """Horizon-block-sharded soft-KL GPS backward pass — the time-axis-parallel
+    twin of :func:`core.scan_lqr.gps_backward` (gps/src/util.cpp:272-374).
+
+    The soft (Gaussian-policy) value recursion reduces ALGEBRAICALLY to the
+    hard Riccati recursion on the α-augmented cost: with D = Cuu + BᵀV'B and
+    H = Cxu + AᵀV'B,
+
+        V = −a(Qxx + QuxᵀK) = Cxx + AᵀV'A − H D⁻¹ Hᵀ
+        v = −a(qx + 2Quxᵀkff) = cx + 2AᵀV'c + Aᵀv' − H D⁻¹ d
+
+    i.e. the −1/α scaling of the Q-blocks cancels exactly in the policy
+    completion, so the (V, v) planes come from the SAME associative
+    :func:`RiccatiElement` ladder as :func:`sharded_backward` (ppermute doubling
+    across the mesh axis).  α re-enters only in the per-step outputs — the
+    Q-blocks, the policy covariance Σ_ctl = ½(−Quu)⁻¹, and the entropy/constant
+    chain v0 (which no other quantity feeds back on: a reverse cumsum).
+
+    Returns the exact (policy, value, qvalue, diverged) tuple of gps_backward.
+    """
+    from .scan_lqr import _LOG_2PI
+    from .types import LinearGaussianPolicy, QuadraticQValue
+
+    T = dyn.horizon
+    dx, du = dyn.A.shape[-1], dyn.B.shape[-1]
+    dtype = dyn.A.dtype
+
+    Q, q = 2.0 * agcost.Cxx[:T], agcost.cx[:T]
+    R, r = 2.0 * agcost.Cuu[:T], agcost.cu[:T]
+    M = 2.0 * agcost.Cxu[:T]
+    els = make_elements(Q, q, R, r, M, dyn.A, dyn.B, dyn.c,
+                        2.0 * agcost.Cxx[T], agcost.cx[T])
+    S, s = _sharded_suffix(els, mesh, axis_name, T, dx, dtype)
+    V_pl, v_pl = 0.5 * S, s  # value planes, xᵀVx + vᵀx convention
+
+    def soft_outputs(Cxx, cx, Cuu, cu, Cxu, c0, A, B, c, sig, a, V_n, v_n):
+        """gps_backward's per-step body with (V', v') read off the ladder."""
+        Qxx = -(Cxx + A.T @ V_n @ A) / a
+        Quu = -(Cuu + B.T @ V_n @ B) / a
+        Qux = -(Cxu + A.T @ V_n @ B).T / a
+        qu = -(cu + 2.0 * B.T @ V_n @ c + B.T @ v_n) / a
+        qx = -(cx + 2.0 * A.T @ V_n @ c + A.T @ v_n) / a
+
+        neg_chol = jnp.linalg.cholesky(-symmetrize(Quu))
+        step_bad = ~jnp.all(jnp.isfinite(neg_chol))
+        safe_chol = jnp.where(
+            jnp.isfinite(neg_chol), neg_chol, jnp.eye(du, dtype=neg_chol.dtype)
+        )
+        K = chol_solve(safe_chol, Qux)
+        kff = 0.5 * chol_solve(safe_chol, qu)
+        sigma_ctl = symmetrize(
+            0.5 * chol_solve(safe_chol, jnp.eye(du, dtype=safe_chol.dtype))
+        )
+        logdet_m2Quu = du * jnp.log(2.0) + 2.0 * jnp.sum(
+            jnp.log(jnp.diagonal(neg_chol))
+        )
+        # v0 increment: v0_t = v0_{t+1} + g_t (the −a·q0 expansion minus its
+        # v0' term, plus the policy/entropy parts)
+        g = (
+            -a * 0.5 * (qu @ kff)
+            + c0 + c @ V_n @ c + jnp.trace(V_n @ sig) + v_n @ c
+            - a * 0.5 * (du * _LOG_2PI - logdet_m2Quu)
+        )
+        return K, kff, sigma_ctl, Qxx, Quu, Qux, qx, qu, g, step_bad
+
+    K, kff, sigma_ctl, Qxx, Quu, Qux, qx, qu, g, step_bad = jax.vmap(
+        soft_outputs
+    )(
+        agcost.Cxx[:T], agcost.cx[:T], agcost.Cuu[:T], agcost.cu[:T],
+        agcost.Cxu[:T], agcost.c0[:T],
+        dyn.A, dyn.B, dyn.c, dyn.sigma, alpha, V_pl[1:], v_pl[1:],
+    )
+
+    # constant chain: reverse cumulative sum from the terminal c0
+    v0_T = agcost.c0[T]
+    v0 = jnp.concatenate([
+        v0_T + jnp.cumsum(g[::-1])[::-1], v0_T[None]
+    ])
+    q0 = -(agcost.c0[:T] + v0[1:]
+           + jnp.einsum("ti,tij,tj->t", dyn.c, V_pl[1:], dyn.c)
+           + jnp.einsum("tij,tji->t", V_pl[1:], dyn.sigma)
+           + jnp.einsum("ti,ti->t", v_pl[1:], dyn.c)) / alpha
+
+    value = QuadraticValue(V=V_pl, v=v_pl, v0=v0)
+    qvalue = QuadraticQValue(Qxx=Qxx, Quu=Quu, Qux=Qux, qx=qx, qu=qu, q0=q0)
+    policy = LinearGaussianPolicy(K=K, kff=kff, sigma=sigma_ctl)
+    diverged = jnp.any(step_bad) | ~jnp.all(jnp.isfinite(S))
+    return policy, value, qvalue, diverged
