@@ -9,8 +9,13 @@ parent), initializes the distributed runtime through the library's
 ``init_multihost`` helper, builds the global mesh with ``make_mesh``, and runs
 
 * a jit global reduction over a ``dp``-sharded global array assembled from
-  process-local shards (the multi-host data-ingest pattern), and
-* an explicit ``shard_map`` ``psum`` across all 8 devices (2 processes).
+  process-local shards (the multi-host data-ingest pattern),
+* an explicit ``shard_map`` ``psum`` across all 8 devices (2 processes),
+* a dp-sharded batch of FULL iLQR solves spanning both processes with a global
+  psum of the returns, checked against a single-device sequential batch, and
+* a time-sharded Riccati backward whose ppermute composite ladder crosses the
+  process boundary, all-gathered and checked against the sequential recursion
+  (solver-level cross-process equality, VERDICT r4 item 9).
 
 Prints ``MULTIHOST_OK <sum> <psum0>`` on success; the parent asserts the
 values from both processes.
@@ -78,7 +83,86 @@ def main(port: int, pid: int, nproc: int) -> None:
     expect_sum = float(np.sum(np.arange(n_rows)) * 4)
     assert abs(ps0 - expect_sum) < 1e-6, (ps0, expect_sum)
 
-    print(f"MULTIHOST_OK {total:.1f} {ps0:.1f}", flush=True)
+    # ---- solver-level cross-process computation (VERDICT r4 item 9) ---------
+    # dp-sharded batch of FULL iLQR solves spanning both processes' devices,
+    # globally psum-reduced; each process also computes the whole batch
+    # sequentially on one local device as the reference.
+    import trajopt_tpu
+    from trajopt_tpu.parallel.mpc import make_ilqr_solver
+
+    env = trajopt_tpu.make("Pendulum-TO-v0", dt=0.05).replace(uw=(1e-5,))
+    solve = make_ilqr_solver(env, nb_steps=12, nb_iter=2)
+    batch = 2 * n_global
+    x0_np = np.tile(np.asarray(np.array(env.x0), np.float32), (batch, 1))
+    x0_np = x0_np + 0.01 * np.arange(batch, dtype=np.float32)[:, None]
+    xg = jax.make_array_from_callback(
+        x0_np.shape, sharding, lambda idx: x0_np[idx]
+    )
+    batched_returns = jax.vmap(lambda x: solve(x)[0].last_return)
+    got_sum = float(
+        jax.jit(
+            lambda xb: jnp.sum(batched_returns(xb)),
+            out_shardings=NamedSharding(mesh, P()),
+        )(xg)
+    )
+    ref_returns = np.asarray(batched_returns(jnp.asarray(x0_np)))
+    assert np.all(np.isfinite(ref_returns))
+    assert abs(got_sum - float(ref_returns.sum())) < 1e-3 * abs(got_sum), (
+        got_sum, float(ref_returns.sum())
+    )
+
+    # Time-sharded Riccati backward: the ppermute composite ladder runs ACROSS
+    # the two processes; the all-gathered policy must equal the sequential
+    # single-device recursion.
+    import ref_impl
+    from trajopt_tpu.core.pscan_lqr import sharded_backward
+    from trajopt_tpu.core.scan_lqr import riccati_backward
+    from trajopt_tpu.core.types import LinearDynamics, QuadraticCost
+
+    T = n_global * 8 - 1  # T+1 divides the mesh axis exactly
+    rng = np.random.default_rng(11)
+    prob = ref_impl.random_quadratic_problem(rng, T, dx=3, du=2)
+    cost = QuadraticCost(
+        Cxx=jnp.asarray(prob["Cxx"], jnp.float32),
+        cx=jnp.asarray(prob["cx"], jnp.float32),
+        Cuu=jnp.asarray(prob["Cuu"], jnp.float32),
+        cu=jnp.asarray(prob["cu"], jnp.float32),
+        Cxu=jnp.asarray(prob["Cxu"], jnp.float32),
+        c0=jnp.asarray(prob["c0"], jnp.float32),
+    )
+    dyn = LinearDynamics(
+        A=jnp.asarray(prob["A"], jnp.float32),
+        B=jnp.asarray(prob["B"], jnp.float32),
+        c=jnp.asarray(prob["c"], jnp.float32),
+    )
+    mesh_t = make_mesh(("time",))
+    repl = NamedSharding(mesh_t, P())
+
+    def as_global(tree):
+        return jax.tree_util.tree_map(
+            lambda a: jax.make_array_from_callback(
+                a.shape, repl, lambda idx, a=a: np.asarray(a)[idx]
+            ),
+            tree,
+        )
+
+    ctl_g, val_g = jax.jit(
+        lambda c, d: sharded_backward(c, d, mesh_t, axis_name="time"),
+        out_shardings=repl,  # forces the cross-process all-gather
+    )(as_global(cost), as_global(dyn))
+    ctl_s, val_s = riccati_backward(cost, dyn)
+    np.testing.assert_allclose(
+        np.asarray(ctl_g.K), np.asarray(ctl_s.K), rtol=2e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(val_g.V), np.asarray(val_s.V), rtol=2e-4, atol=1e-4
+    )
+
+    print(
+        f"MULTIHOST_OK {total:.1f} {ps0:.1f} {got_sum:.2f} "
+        f"{float(np.asarray(val_g.V).sum()):.2f}",
+        flush=True,
+    )
 
 
 if __name__ == "__main__":
