@@ -177,14 +177,18 @@ def _psd_floor_t(M, n, dtype):
 
 
 def _jac_cols(fn, x0, ndim):
-    """Forward-mode Jacobian columns of ``fn`` (list → list) at ``x0``."""
+    """Forward-mode Jacobian columns of ``fn`` (list → list) at ``x0``.
+
+    ``jax.linearize``: ONE primal trace + a cheap linear tangent replay per
+    column (the jvp-per-column form re-traced the primal ndim times and relied
+    on Mosaic CSE to collapse the duplicates)."""
     ones = jnp.ones_like(x0[0])
     zeros = jnp.zeros_like(x0[0])
+    _, f_lin = jax.linearize(fn, list(x0))
     cols = []
     for k in range(ndim):
         seed = [ones if i == k else zeros for i in range(ndim)]
-        _, tang = jax.jvp(fn, (list(x0),), (seed,))
-        cols.append(tang)
+        cols.append(f_lin(seed))
     return cols
 
 
@@ -271,11 +275,11 @@ def tile_belief_cost_expansion(env, mu_pl, sig_pl, u_pl):
     zeros = jnp.zeros_like(mu_pl[0])
 
     def grad(z):
+        _, c_lin = jax.linearize(c, list(z))
         g = []
         for k in range(n_in):
             seed = [ones if i == k else zeros for i in range(n_in)]
-            _, t = jax.jvp(c, (list(z),), (seed,))
-            g.append(t)
+            g.append(c_lin(seed))
         return g
 
     g = grad(z0)
@@ -283,11 +287,11 @@ def tile_belief_cost_expansion(env, mu_pl, sig_pl, u_pl):
     p = g[b:b + bb]
     r = g[b + bb:]
 
+    _, g_lin = jax.linearize(grad, z0)
     hcols = []
     for k in list(range(b)) + list(range(b + bb, n_in)):
         seed = [ones if i == k else zeros for i in range(n_in)]
-        _, t = jax.jvp(grad, (z0,), (seed,))
-        hcols.append(t)
+        hcols.append(g_lin(seed))
     Q = [[hcols[j][i] for j in range(b)] for i in range(b)]
     R = [[hcols[b + j][b + bb + i] for j in range(a)] for i in range(a)]
     P = [[hcols[b + j][i] for j in range(a)] for i in range(b)]

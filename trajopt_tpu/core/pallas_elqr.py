@@ -63,17 +63,19 @@ def tile_inverse_dynamics(env, x, u):
 
 def _tile_lin(f, x, u):
     """Affine model ``f(ξ, ν) ≈ Aξ + Bν + c`` about (x, u) on tiles via dx+du
-    forward-mode columns (the jvp re-evaluates the primal per column; Mosaic's
-    CSE collapses the duplicates, so the cost is ~one primal + dx+du tangents).
-    """
+    forward-mode columns.  ``jax.linearize`` evaluates the primal ONCE and
+    replays only the (much cheaper) linear tangent map per column — the jvp-
+    per-column form traced ~5 duplicated primals and leaned on Mosaic CSE to
+    collapse them, which inflated compile time and left residual work."""
     ndx, ndu = len(x), len(u)
     ones = jnp.ones_like(x[0])
     zeros = jnp.zeros_like(x[0])
-    f0 = f(x, u)
+    f0, f_lin = jax.linearize(
+        lambda xx, uu: f(xx, uu), list(x), list(u)
+    )
 
     def col(seed_x, seed_u):
-        _, t = jax.jvp(f, (list(x), list(u)), (seed_x, seed_u))
-        return t
+        return f_lin(seed_x, seed_u)
 
     colsA = [
         col([ones if i == k else zeros for i in range(ndx)], [zeros] * ndu)
@@ -112,10 +114,10 @@ def _tile_quad_cost(env, x, u):
     ones = jnp.ones_like(x[0])
     zeros = jnp.zeros_like(x[0])
 
+    z0_lin, j_lin = jax.linearize(lambda yy: env.features_parts(yy), y)
+
     def jcol(k):
-        seed = [ones if i == k else zeros for i in range(ndx)]
-        _, t = jax.jvp(lambda yy: env.features_parts(yy), (y,), (seed,))
-        return t
+        return j_lin([ones if i == k else zeros for i in range(ndx)])
 
     cols = [jcol(k) for k in range(ndx)]
     J = [[cols[k][i] for k in range(ndx)] for i in range(nz)]

@@ -47,12 +47,14 @@ def _tile_lin_delta(env, x, u):
     ones = jnp.ones_like(x[0])
     zeros = jnp.zeros_like(x[0])
 
+    _, f_lin = jax.linearize(
+        lambda xx, uu: tile_dynamics(env, xx, uu), list(x), list(u)
+    )
+
     def col(seed_x, seed_u):
-        _, t = jax.jvp(
-            lambda xx, uu: tile_dynamics(env, xx, uu),
-            (list(x), list(u)), (seed_x, seed_u),
-        )
-        return t
+        # one primal trace + cheap linear tangent replays (the jvp-per-column
+        # form re-traced the primal ~dx+du times and leaned on Mosaic CSE)
+        return f_lin(seed_x, seed_u)
 
     colsA = [
         col([ones if i == k else zeros for i in range(ndx)], [zeros] * ndu)
@@ -80,10 +82,10 @@ def _tile_goal_quad_delta(env, x, w):
     ones = jnp.ones_like(x[0])
     zeros = jnp.zeros_like(x[0])
 
+    _, j_lin = jax.linearize(lambda yy: env.features_parts(yy), y)
+
     def jcol(k):
-        seed = [ones if i == k else zeros for i in range(ndx)]
-        _, t = jax.jvp(lambda yy: env.features_parts(yy), (y,), (seed,))
-        return t
+        return j_lin([ones if i == k else zeros for i in range(ndx)])
 
     cols = [jcol(k) for k in range(ndx)]
     J = [[cols[k][i] for k in range(ndx)] for i in range(nz)]
