@@ -444,7 +444,7 @@ def bench_elqr_pallas(T=100, batch=1024, nb_iter=10, reps=3):
     return batch * nb_iter / sec
 
 
-def bench_bsp(horizon=25, nb_steps=50, nb_iter=10, reps=3, engine="auto"):
+def bench_bsp(horizon=25, nb_steps=50, nb_iter=10, reps=10, engine="auto"):
     """BSP-iLQR light-dark MPC (BASELINE config #4): control steps/sec (replan +
     act + EKF update per step — the examples/bspilqr/lightdark.py loop).
 
