@@ -344,3 +344,112 @@ def test_mbgps_solver_time_mesh_matches():
     np.testing.assert_allclose(np.asarray(st_s.ctl.kff),
                                np.asarray(st_r.ctl.kff),
                                rtol=1e-5, atol=1e-6)
+
+
+def _lightdark_belief_expansion(T, seed=0):
+    import trajopt_tpu
+    from trajopt_tpu.core.belief import (
+        belief_cost_expansion,
+        belief_dynamics_expansion,
+    )
+
+    env = trajopt_tpu.make("LightDark-TO-v0")
+    key = jax.random.PRNGKey(seed)
+    b, a = env.belief_dim, env.act_dim
+    mu_b = 2.0 + 0.5 * jax.random.normal(key, (T + 1, b))
+    sigma_b = jnp.tile(0.5 * jnp.eye(b), (T + 1, 1, 1))
+    us = 0.3 * jax.random.normal(jax.random.PRNGKey(seed + 1), (T, a))
+    dyn = belief_dynamics_expansion(env, mu_b[:T], sigma_b[:T], us)
+    cost = belief_cost_expansion(env, mu_b, sigma_b, us)
+    return env, cost, dyn
+
+
+@pytest.mark.parametrize("T", [12, 40])
+def test_pbsp_backward_matches_sequential_lam0(T):
+    """Parallel-in-time BSP backward (two-ladder decomposition): at λ = 0 it
+    must reproduce core/belief.bsp_backward (bspilqr/src/util.cpp:83-204)
+    exactly — gains, (S, s, τ) value triplet, dS, and the divergence flag."""
+    from trajopt_tpu.core.belief import bsp_backward
+    from trajopt_tpu.core.pscan_lqr import pbsp_backward
+
+    _, cost, dyn = _lightdark_belief_expansion(T)
+    ctl_s, S_s, s_s, tau_s, dS_s, div_s = bsp_backward(cost, dyn, 0.0, 1)
+    ctl_p, S_p, s_p, tau_p, dS_p, div_p = pbsp_backward(cost, dyn, 0.0)
+
+    assert bool(div_s) == bool(div_p) == False  # noqa: E712
+    np.testing.assert_allclose(np.asarray(ctl_p.K), np.asarray(ctl_s.K),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(ctl_p.kff), np.asarray(ctl_s.kff),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(S_p), np.asarray(S_s),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_s),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(tau_p), np.asarray(tau_s),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(dS_p), np.asarray(dS_s), rtol=1e-9)
+
+
+@pytest.mark.parametrize("T", [12, 31])
+def test_sharded_bsp_backward_matches_single_device(T):
+    """The 8-device horizon-sharded BSP pass (both ppermute ladders crossing
+    device blocks) must reproduce the single-device parallel pass exactly, at a
+    nonzero λ (λ-folded semantics on both sides)."""
+    from jax.sharding import Mesh
+
+    from trajopt_tpu.core.pscan_lqr import pbsp_backward, sharded_bsp_backward
+
+    _, cost, dyn = _lightdark_belief_expansion(T, seed=2)
+    mesh = Mesh(np.array(jax.devices("cpu")[:8]), axis_names=("time",))
+    lam = 0.7
+
+    out_1 = pbsp_backward(cost, dyn, lam)
+    out_8 = jax.jit(
+        lambda c, d: sharded_bsp_backward(c, d, lam, mesh, "time")
+    )(cost, dyn)
+
+    assert bool(out_1[5]) == bool(out_8[5]) == False  # noqa: E712
+    np.testing.assert_allclose(np.asarray(out_8[0].K), np.asarray(out_1[0].K),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out_8[0].kff),
+                               np.asarray(out_1[0].kff),
+                               rtol=1e-9, atol=1e-12)
+    for i, name in [(1, "S"), (2, "s"), (3, "tau"), (4, "dS")]:
+        np.testing.assert_allclose(np.asarray(out_8[i]), np.asarray(out_1[i]),
+                                   rtol=1e-9, atol=1e-12, err_msg=name)
+
+
+def test_bsp_solver_time_mesh_matches():
+    """Public-API horizon sharding for the belief-space family:
+    make_bsp_solver(time_mesh=…) must reproduce the single-device λ-folded
+    engine (backward='pscan') through the full λ/α outer loop, and land near
+    the reference scan engine's solution on a benign solve."""
+    from jax.sharding import Mesh
+
+    import trajopt_tpu
+    from trajopt_tpu.parallel.bsp import make_bsp_solver
+
+    env = trajopt_tpu.make("LightDark-TO-v0")
+    mu0, sigma0 = env.init()
+    mu0, sigma0 = jnp.asarray(mu0), jnp.asarray(sigma0)
+    mesh = Mesh(np.array(jax.devices("cpu")[:8]), axis_names=("time",))
+
+    s_loc = jax.jit(make_bsp_solver(env, nb_steps=10, nb_iter=25,
+                                    backward="pscan"))
+    s_shd = jax.jit(make_bsp_solver(env, nb_steps=10, nb_iter=25,
+                                    time_mesh=mesh))
+    st_l, tr_l = s_loc(mu0, sigma0)
+    st_s, tr_s = s_shd(mu0, sigma0)
+
+    np.testing.assert_allclose(np.asarray(tr_s), np.asarray(tr_l),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(st_s.uref), np.asarray(st_l.uref),
+                               rtol=1e-8, atol=1e-10)
+
+    # and the λ-folded engine solves the problem at least as well as the scan
+    # engine (the iteration paths legitimately differ while λ > 0 — proximal
+    # variant — and on this nonconvex solve the folded path lands ~0.2% LOWER,
+    # so converged-objective equality is not the right assertion)
+    s_ref = jax.jit(make_bsp_solver(env, nb_steps=10, nb_iter=25))
+    st_r, tr_r = s_ref(mu0, sigma0)
+    assert float(tr_s[-1]) <= float(tr_r[-1]) * (1.0 + 1e-3)

@@ -383,8 +383,9 @@ def _identity_element(dx: int, dtype) -> RiccatiElement:
 
 
 def _suffix_tail_ppermute(
-    total: RiccatiElement, axis_name: str, n_dev: int, dx: int, dtype
-) -> RiccatiElement:
+    total, axis_name: str, n_dev: int, dx: int, dtype,
+    combine_fn=None, ident=None,
+):
     """Exclusive suffix composition of the per-device block composites via a
     log-depth doubling ladder of ``ppermute`` neighbor exchanges.
 
@@ -396,9 +397,16 @@ def _suffix_tail_ppermute(
     ``ppermute``s total) and the fold work is distributed — replacing the
     round-1 ``all_gather`` + per-device O(N) refold, whose communication and
     compute both scaled linearly with the mesh size.
+
+    Works for ANY associative element monoid: ``combine_fn``/``ident`` default
+    to the Riccati element algebra, the affine ladder of
+    :func:`sharded_bsp_backward` passes its own.
     """
+    if combine_fn is None:
+        combine_fn = combine
+    if ident is None:
+        ident = _identity_element(dx, dtype)
     idx = jax.lax.axis_index(axis_name)
-    ident = _identity_element(dx, dtype)
     S = total
     d = 1
     while d < n_dev:
@@ -410,7 +418,7 @@ def _suffix_tail_ppermute(
         )
         # devices i ≥ N − d receive zeros (no source) — their span already
         # reaches the end, so keep S unchanged there
-        merged = combine(S, recv)
+        merged = combine_fn(S, recv)
         S = jax.tree_util.tree_map(
             lambda m, s: jnp.where(idx < n_dev - d, m, s), merged, S
         )
@@ -652,3 +660,202 @@ def sharded_gps_backward(
     policy = LinearGaussianPolicy(K=K, kff=kff, sigma=sigma_ctl)
     diverged = jnp.any(step_bad) | ~jnp.all(jnp.isfinite(S))
     return policy, value, qvalue, diverged
+
+
+# --------------------------------------------------------------------------------------
+# Parallel-in-time belief-space (BSP) backward pass
+# --------------------------------------------------------------------------------------
+#
+# The (S, s, τ) belief-value recursion (bspilqr/src/util.cpp:83-204) decomposes into
+# two associative ladders once λ is folded into the action Hessian:
+#
+#   pass 1 — S alone: with R̃ = R + λI the update
+#       S = Q + FᵀS'F − (P + FᵀS'G)(R̃ + GᵀS'G)⁻¹(P + FᵀS'G)ᵀ
+#     is EXACTLY the hard Riccati LFT, so the S planes ride the same
+#     :class:`RiccatiElement` suffix ladder as :func:`sharded_backward`
+#     (zero linear channel — the belief linear channel is coupled to τ and
+#     cannot ride the η slot).
+#
+#   pass 2 — (s, τ) jointly: with the EXACT gain K = −D̃⁻¹(P + FᵀS'G)ᵀ the
+#     cross terms K ᵀD̃kff + Eᵀkff in the s-update cancel (KᵀD̃ + Eᵀ = 0), so
+#       s = (F + GK)ᵀ s' + (T + VK)ᵀ τ' + [q + Kᵀr + ½(X + ZK)ᵀ vec S']
+#       τ = Uᵀ τ' + [p + ½ Yᵀ vec S']
+#     is an AFFINE backward recursion in z = (s, τ) ∈ ℝ^{b+b²} whose
+#     coefficients are known once pass 1 lands — a second associative suffix
+#     scan over (M, w) affine maps.
+#
+# λ-folded semantics (same contract as :func:`sharded_ilqr_backward`): the pass
+# solves the λ-regularized problem exactly — identical to the sequential
+# :func:`core.belief.bsp_backward` at λ = 0 (either reg mode), a well-defined
+# proximal variant for λ > 0 (the C++ recursion regularizes only the gain solve
+# — e.g. S keeps the unregularized D in KᵀDK — and is inherently sequential;
+# ``reg`` is ignored here).
+
+
+class AffineElement(NamedTuple):
+    """z_earlier = M z_later + w, composed associatively (suffix ladder)."""
+
+    M: Array  # (..., d, d)
+    w: Array  # (..., d)
+
+
+def _affine_combine(e1: AffineElement, e2: AffineElement) -> AffineElement:
+    """Compose e1 (earlier) with e2 (later): z = M1 (M2 z'' + w2) + w1."""
+    return AffineElement(M=e1.M @ e2.M, w=_mv(e1.M, e2.w) + e1.w)
+
+
+def _affine_identity(d: int, dtype) -> AffineElement:
+    return AffineElement(M=jnp.eye(d, dtype=dtype), w=jnp.zeros(d, dtype))
+
+
+def _affine_suffix(els: AffineElement) -> Array:
+    """Local (single-device) suffix scan of affine maps; returns the w of each
+    suffix composite — i.e. z_t when the last element is (M=0, w=z_T)."""
+    suf = lax.associative_scan(
+        lambda x, y: _affine_combine(y, x), els, reverse=True
+    )
+    return suf.w
+
+
+def _sharded_affine_suffix(els: AffineElement, mesh, axis_name, T, d, dtype):
+    """Horizon-block-sharded suffix scan of affine maps — the affine-monoid twin
+    of :func:`_sharded_suffix` (local block scans + ppermute doubling ladder)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = mesh.shape[axis_name]
+    pad = (-(T + 1)) % n_dev
+    ident = AffineElement(
+        M=jnp.broadcast_to(jnp.eye(d, dtype=dtype), (pad, d, d)),
+        w=jnp.zeros((pad, d), dtype),
+    )
+    els = jax.tree_util.tree_map(
+        lambda a, b: jnp.concatenate([a, b], axis=0), els, ident
+    )
+
+    def local_block(block: AffineElement) -> AffineElement:
+        local = lax.associative_scan(
+            lambda x, y: _affine_combine(y, x), block, reverse=True
+        )
+        total = jax.tree_util.tree_map(lambda x: x[0], local)
+        tail = _suffix_tail_ppermute(
+            total, axis_name, n_dev, d, dtype,
+            combine_fn=_affine_combine, ident=_affine_identity(d, dtype),
+        )
+        tail_b = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (local.M.shape[0],) + x.shape), tail
+        )
+        return _affine_combine(local, tail_b)
+
+    spec = AffineElement(M=P(axis_name), w=P(axis_name))
+    suf = shard_map(
+        local_block, mesh=mesh, in_specs=(spec,), out_specs=spec
+    )(els)
+    return suf.w[: T + 1]
+
+
+def sharded_bsp_backward(
+    cost,
+    dyn,
+    lmbda: Array | float,
+    mesh=None,
+    axis_name: str = "time",
+):
+    """Parallel-in-time belief-space backward pass (λ-folded semantics, see the
+    section comment above) — the time-axis twin of
+    :func:`core.belief.bsp_backward` (bspilqr/src/util.cpp:83-204).
+
+    ``cost`` / ``dyn`` are the :class:`core.belief.BeliefCostExpansion` /
+    :class:`BeliefDynamicsExpansion` stacks.  With ``mesh=None`` both ladders
+    run as local ``associative_scan``s (the single-device parallel-in-time
+    engine, O(log T) depth); with a mesh the horizon blocks are sharded across
+    ``axis_name`` and composites exchanged via the log-depth ppermute ladder.
+
+    Returns the exact ``(policy, S, s, tau, dS, diverged)`` contract of
+    ``bsp_backward`` — equal to it at λ = 0, λ-folded proximal variant beyond.
+    """
+    T = dyn.F.shape[0]
+    b = dyn.F.shape[-1]
+    a = dyn.G.shape[-1]
+    dt = dyn.F.dtype
+    eye_a = jnp.eye(a, dtype=dt)
+    lam = jnp.asarray(lmbda, dt)
+
+    # ---- pass 1: S planes on the Riccati element ladder (zero linear channel)
+    zeros_qb = jnp.zeros((T, b), dt)
+    zeros_ra = jnp.zeros((T, a), dt)
+    R_fold = cost.R[:T] + lam * eye_a
+    els = make_elements(
+        cost.Q[:T], zeros_qb, R_fold, zeros_ra, cost.P[:T],
+        dyn.F, dyn.G, zeros_qb, cost.Q[T], jnp.zeros(b, dt),
+    )
+    if mesh is None:
+        S = suffix_scan(els).J
+    else:
+        S, _ = _sharded_suffix(els, mesh, axis_name, T, b, dt)
+
+    # ---- per-step gains + affine (s, τ) coefficients from S'
+    def per_step(Q, q, R, r, P, p, F, G, X, Y, Z, T_, U, V, S_n):
+        D = R + lam * eye_a + G.T @ S_n @ G
+        E_row = P + F.T @ S_n @ G                      # (b, a)
+        chol = jnp.linalg.cholesky(symmetrize(D))
+        bad = ~jnp.all(jnp.isfinite(chol))
+        safe_chol = jnp.where(jnp.isfinite(chol), chol, eye_a)
+        K = -chol_solve(safe_chol, E_row.T)            # (a, b)
+        vecS = S_n.reshape(-1)
+        M_el = jnp.block([
+            [(F + G @ K).T, (T_ + V @ K).T],
+            [jnp.zeros((b * b, b), dt), U.T],
+        ])
+        w_el = jnp.concatenate([
+            q + K.T @ r + 0.5 * (X + Z @ K).T @ vecS,
+            p + 0.5 * Y.T @ vecS,
+        ])
+        return M_el, w_el, K, safe_chol, D, bad
+
+    M_els, w_els, K, chols, Ds, bads = jax.vmap(per_step)(
+        cost.Q[:T], cost.q[:T], cost.R[:T], cost.r[:T], cost.P[:T], cost.p[:T],
+        dyn.F, dyn.G, dyn.X, dyn.Y, dyn.Z, dyn.T, dyn.U, dyn.V, S[1:],
+    )
+
+    # ---- pass 2: joint (s, τ) affine suffix ladder, terminal as (M=0, w=z_T)
+    d_dim = b + b * b
+    z_T = jnp.concatenate([cost.q[T], cost.p[T]])
+    aff = AffineElement(
+        M=jnp.concatenate([M_els, jnp.zeros((1, d_dim, d_dim), dt)], axis=0),
+        w=jnp.concatenate([w_els, z_T[None]], axis=0),
+    )
+    if mesh is None:
+        z = _affine_suffix(aff)
+    else:
+        z = _sharded_affine_suffix(aff, mesh, axis_name, T, d_dim, dt)
+    s = z[:, :b]
+    tau = z[:, b:]
+
+    # ---- feedforward + dS from the landed (s', τ') planes
+    def ff(r, G, V, Z, chol_t, D_t, S_n, s_n, tau_n):
+        d_vec = r + G.T @ s_n + V.T @ tau_n + 0.5 * Z.T @ S_n.reshape(-1)
+        kff_t = -chol_solve(chol_t, d_vec)
+        dS_t = jnp.stack([kff_t @ d_vec, 0.5 * kff_t @ D_t @ kff_t])
+        return kff_t, dS_t
+
+    kff, dS_t = jax.vmap(ff)(
+        cost.r[:T], dyn.G, dyn.V, dyn.Z, chols, Ds, S[1:], s[1:], tau[1:]
+    )
+    dS = jnp.sum(dS_t, axis=0)
+
+    diverged = (
+        jnp.any(bads)
+        | ~jnp.all(jnp.isfinite(S))
+        | ~jnp.all(jnp.isfinite(z))
+        | ~jnp.all(jnp.isfinite(K))
+        | ~jnp.all(jnp.isfinite(kff))
+    )
+    return LinearPolicy(K=K, kff=kff), S, s, tau, dS, diverged
+
+
+def pbsp_backward(cost, dyn, lmbda: Array | float = 0.0):
+    """Single-device parallel-in-time BSP backward (λ-folded) — the local twin
+    of :func:`sharded_bsp_backward` and the ``backward='pscan'`` engine of
+    :func:`parallel.bsp.make_bsp_solver`."""
+    return sharded_bsp_backward(cost, dyn, lmbda, mesh=None)

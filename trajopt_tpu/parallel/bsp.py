@@ -57,6 +57,9 @@ def make_bsp_solver(
     min_imp: float = 0.0,
     reg: int = 1,
     value_form: str = "dense",
+    backward: str = "scan",
+    time_mesh=None,
+    time_axis: str = "time",
     differentiable: bool = False,
     lm_steps: int = 16,
 ):
@@ -78,8 +81,35 @@ def make_bsp_solver(
     Cholesky factor through QR array updates (core/belief.bsp_backward_sqrt) —
     PSD by construction, the principled f32 form, pairing with
     ``belief_filter="sqrt"`` in :func:`make_bsp_mpc_runner` for a square-root
-    end-to-end belief pipeline."""
-    if value_form == "sqrt":
+    end-to-end belief pipeline.
+
+    Backward engines (``value_form='dense'`` only):
+      * ``backward='scan'`` (default) — sequential ``lax.scan`` (S, s, τ)
+        recursion with the reference's exact reg ∈ {1, 2} LM semantics.
+      * ``backward='pscan'`` — parallel-in-time two-ladder pass
+        (core/pscan_lqr.sharded_bsp_backward with ``mesh=None``): the S planes
+        on the Riccati element ladder, the coupled (s, τ) channel on an affine
+        suffix ladder.  λ is folded into the action Hessian (exact at λ = 0,
+        proximal variant beyond; ``reg`` is ignored) — the same contract as
+        ``make_ilqr_solver(backward='pscan')``.
+      * ``time_mesh=Mesh(..., (time_axis,))`` — the same two-ladder pass with
+        the horizon block-sharded across the mesh axis and composites exchanged
+        via log-depth ``ppermute`` ladders (SURVEY.md §2.4's sequence-parallel
+        axis, now covering the belief-space family too)."""
+    if time_mesh is not None or backward == "pscan":
+        if value_form != "dense":
+            raise ValueError(
+                "backward='pscan' / time_mesh require value_form='dense'"
+            )
+        from ..core.pscan_lqr import sharded_bsp_backward
+
+        def backward_fn(cost, dyn, lmbda_v, _reg):
+            return sharded_bsp_backward(
+                cost, dyn, lmbda_v, time_mesh, time_axis
+            )
+    elif backward != "scan":
+        raise ValueError(f"unknown backward impl {backward!r}")
+    elif value_form == "sqrt":
         from ..core.belief import bsp_backward_sqrt as backward_fn
     elif value_form == "dense":
         backward_fn = bsp_backward
