@@ -975,6 +975,19 @@ def _cpu_denominators(T_gps):
     return den
 
 
+def _try_bench(extras, failed_rows, name, fn):
+    """Run one bench row; success lands in ``extras``, failure in
+    ``failed_rows`` — a flagship row silently vanishing from the emitted JSON
+    with rc=0 (round 4's bsp_lightdark_mpc_steps_per_s) must be impossible:
+    the failure travels in the JSON line itself, not just stderr.  Covered by
+    tests/test_utils.py::test_bench_failed_rows_land_in_json."""
+    try:
+        extras[name] = round(fn(), 1)
+    except Exception as e:
+        failed_rows[name] = f"{type(e).__name__}: {e}"[:300]
+        print(f"bench {name} failed: {e!r}", file=sys.stderr)
+
+
 def main():
     import os
 
@@ -1013,15 +1026,7 @@ def main():
     failed_rows = {}
 
     def try_bench(name, fn):
-        try:
-            extras[name] = round(fn(), 1)
-        except Exception as e:  # pragma: no cover - defensive: report, keep going
-            # Loud failure: the row lands in the JSON line itself (failed_rows),
-            # not just stderr — a flagship row silently vanishing from the
-            # record (round 4's bsp_lightdark_mpc_steps_per_s) must be
-            # impossible to miss.
-            failed_rows[name] = f"{type(e).__name__}: {e}"[:300]
-            print(f"bench {name} failed: {e!r}", file=sys.stderr)
+        _try_bench(extras, failed_rows, name, fn)
 
     # headline: full iLQR iterations/sec at horizon 1000
     iters_per_s, sec_per_batch_iter, engine_tag, hl_T, hl_N = bench_ilqr_iters(

@@ -357,3 +357,35 @@ def test_compiled_solver_structured_metrics():
     bstate, bm = bsolve(x0s)
     assert bm.ret.shape == (4, 3)
     np.testing.assert_allclose(np.asarray(bm.ret[-1]), np.asarray(bstate.last_return))
+
+
+def test_bench_failed_rows_land_in_json():
+    """A bench row that raises must land in the emitted JSON line's
+    ``failed_rows`` field (VERDICT r4 item 2: round 4's flagship BSP row
+    vanished from the record with rc=0 because the failure only hit stderr)."""
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    try:
+        from bench import _try_bench
+    finally:
+        sys.path.pop(0)
+
+    extras, failed = {}, {}
+    _try_bench(extras, failed, "good_row", lambda: 41.96)
+
+    def boom():
+        raise RuntimeError("Mosaic failed to compile TPU kernel: forced")
+
+    _try_bench(extras, failed, "flagship_row", boom)
+
+    assert extras == {"good_row": 42.0}
+    assert "flagship_row" in failed and "forced" in failed["flagship_row"]
+
+    result = {"metric": "m", "value": 1.0, "extras": extras}
+    if failed:
+        result["failed_rows"] = failed
+    line = json.dumps(result)
+    assert "flagship_row" in line and "RuntimeError" in line
